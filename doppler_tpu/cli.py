@@ -1,0 +1,227 @@
+"""``doppler``-compatible command line: const and track subcommands.
+
+Mirrors the reference's full flag surface (SURVEY §5 "config/flag system";
+reference ``src/usage.rs:117-224``):
+
+- ``const``: ``-s/--samplerate``, ``-i/--intype {i16,f32}``,
+  ``-o/--outtype`` (defaults to intype, usage.rs:268-270), ``--shift Hz``.
+- ``track``: the same I/O flags plus ``--tlefile``, ``--tlename``,
+  ``--location lat=..,lon=..,alt=..`` (usage.rs:85-115), ``--time UTC``
+  (``%Y-%m-%dT%H:%M:%S``, usage.rs:303-313), ``--frequency Hz``,
+  ``--offset Hz``.
+
+Negative values work positionally (``--shift -15000``) — argparse handles
+the ``=``-less form for long options, matching clap's AllowLeadingHyphen use.
+
+Framework extensions (all optional, default to reference-compatible
+behavior): ``--chunk-blocks``, ``--block-bytes``, ``--resample-to RATE``,
+``--platform``, ``--log-level``, ``--exact-ratio``.
+
+IQ bytes flow stdin → stdout; telemetry goes to stderr only (main.rs:212-233).
+"""
+
+from __future__ import annotations
+
+import argparse
+import calendar
+import sys
+import time as _time
+
+__all__ = ["main", "build_parser", "parse_location"]
+
+
+def parse_location(text: str):
+    """``lat=58.64560,lon=23.15163,alt=8`` → (lat, lon, alt) floats.
+
+    Mirrors usage.rs:85-115: keys may appear in any order; every key must
+    parse as a float; otherwise a usage error.
+    """
+    if not ("lat" in text and "lon" in text and "alt" in text):
+        raise ValueError(
+            "--location should be defined as: lat=58.64560,lon=23.15163,alt=8"
+        )
+    vals: dict[str, float] = {}
+    for part in text.split(","):
+        if "=" not in part:
+            continue
+        key, _, raw = part.partition("=")
+        key = key.strip()
+        if key in ("lat", "lon", "alt"):
+            try:
+                vals[key] = float(raw)
+            except ValueError:
+                pass
+    if set(vals) != {"lat", "lon", "alt"}:
+        raise ValueError(
+            f"{text!r} isn't a valid value for --location "
+            "[use as: lat=58.64560,lon=23.15163,alt=8]"
+        )
+    return vals["lat"], vals["lon"], vals["alt"]
+
+
+def parse_time_utc(text: str) -> float:
+    """``%Y-%m-%dT%H:%M:%S`` UTC → unix seconds (usage.rs:303-313)."""
+    try:
+        st = _time.strptime(text, "%Y-%m-%dT%H:%M:%S")
+    except ValueError as e:
+        raise ValueError(
+            f"{e}. --time should be defined in Y-m-dTH:M:S format: "
+            "eg. 2015-05-13T14:28:48"
+        ) from None
+    return float(calendar.timegm(st))
+
+
+def _add_io_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-s", "--samplerate", type=int, required=True,
+                   help="IQ data samplerate")
+    p.add_argument("-i", "--intype", choices=["i16", "f32"], required=True,
+                   help="IQ data input type")
+    p.add_argument("-o", "--outtype", choices=["i16", "f32"],
+                   help="IQ data output type (default: same as --intype)")
+    # framework extensions
+    p.add_argument("--block-bytes", type=int, default=8192,
+                   help="stream framing block size in bytes (reference: 8192)")
+    p.add_argument("--chunk-blocks", type=int, default=256,
+                   help="blocks per device dispatch")
+    p.add_argument("--resample-to", type=int, default=None, metavar="RATE",
+                   help="polyphase-resample output to RATE sps after mixing")
+    p.add_argument("--exact-ratio", action="store_true",
+                   help="use exact rational NCO rate instead of mirroring the "
+                        "reference's f32-rounded shift/samplerate ratio")
+    p.add_argument("--platform", choices=["cpu", "tpu", "default"],
+                   default="default", help="JAX platform override")
+    p.add_argument("--log-level", default="info",
+                   choices=["debug", "info", "warning", "error"])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="doppler",
+        description="Compensates IQ data stream doppler shift based on TLE "
+                    "information, also can be used for doing constant "
+                    "baseband shifting (TPU-native implementation)",
+    )
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    const = sub.add_parser("const", help="Constant shift mode")
+    _add_io_args(const)
+    const.add_argument("--shift", type=float, required=True,
+                       help="frequency shift in Hz")
+
+    track = sub.add_parser("track", help="Doppler tracking mode")
+    _add_io_args(track)
+    track.add_argument("--tlefile", required=True,
+                       help="TLE file: eg. cubesat.txt")
+    track.add_argument("--tlename", required=True,
+                       help="TLE name in TLE file: eg. ESTCUBE 1")
+    track.add_argument("--location", required=True,
+                       help="Observer location: lat=<deg>,lon=<deg>,alt=<m>")
+    track.add_argument("--time", default=None,
+                       help="Observation start time UTC Y-m-dTH:M:S "
+                            "(default: current time)")
+    track.add_argument("--frequency", type=float, required=True,
+                       help="Satellite transmitter frequency in Hz")
+    track.add_argument("--offset", type=float, default=0.0,
+                       help="Constant frequency shift in Hz added on top")
+    return ap
+
+
+def _select_platform(platform: str) -> None:
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif platform == "tpu":
+        pass  # image default is the TPU backend
+
+
+def main(argv=None, stdin=None, stdout=None) -> int:
+    import logging
+
+    from doppler_tpu.runtime.telemetry import setup_logger
+
+    ap = build_parser()
+    try:
+        args = ap.parse_args(argv)
+    except SystemExit as e:
+        return int(e.code or 0)
+
+    log = setup_logger(getattr(logging, args.log_level.upper()))
+    _select_platform(args.platform)
+
+    outtype = args.outtype or args.intype
+    stdin = stdin if stdin is not None else sys.stdin.buffer
+    stdout = stdout if stdout is not None else sys.stdout.buffer
+
+    from doppler_tpu.runtime.pipeline import ConstScheduler, Pipeline
+
+    if args.mode == "const":
+        log.info("constant shift mode")
+        log.info("\tIQ samplerate   : %d", args.samplerate)
+        log.info("\tIQ input type   : %s", args.intype)
+        log.info("\tIQ output type  : %s", outtype)
+        log.info("\tfrequency shift : %s Hz", args.shift)
+        scheduler = ConstScheduler(args.shift)
+    else:
+        try:
+            lat, lon, alt = parse_location(args.location)
+        except ValueError as e:
+            log.error("%s", e)
+            return 1
+        start_time = None
+        if args.time is not None:
+            try:
+                start_time = parse_time_utc(args.time)
+            except ValueError as e:
+                log.error("%s", e)
+                return 1
+
+        from doppler_tpu.orbit import make_track_scheduler
+
+        log.info("tracking mode")
+        log.info("\tIQ samplerate   : %d", args.samplerate)
+        log.info("\tIQ input type   : %s", args.intype)
+        log.info("\tIQ output type  : %s", outtype)
+        log.info("\tTLE file        : %s", args.tlefile)
+        log.info("\tTLE name        : %s", args.tlename)
+        log.info("\tlocation        : lat=%s lon=%s alt=%s", lat, lon, alt)
+        log.info("\tfrequency       : %s Hz", args.frequency)
+        log.info("\toffset          : %s Hz", args.offset)
+        try:
+            scheduler = make_track_scheduler(
+                tlefile=args.tlefile,
+                tlename=args.tlename,
+                lat=lat, lon=lon, alt=alt,
+                frequency_hz=args.frequency,
+                offset_hz=args.offset,
+                samplerate=args.samplerate,
+                start_time=start_time,
+            )
+        except (FileNotFoundError, ValueError) as e:
+            log.error("%s", e)
+            return 1
+
+    pipe = Pipeline(
+        args.samplerate,
+        args.intype,
+        outtype,
+        scheduler,
+        block_bytes=args.block_bytes,
+        chunk_blocks=args.chunk_blocks,
+        quantize_ratio_f32=not args.exact_ratio,
+    )
+    if args.resample_to is not None:
+        from doppler_tpu.ops.resample import attach_resampler
+
+        attach_resampler(pipe, args.resample_to)
+
+    counters = pipe.run(stdin, stdout)
+    log.info(
+        "done: %d samples in %.3f s (%.3f Msps)",
+        counters.samples, counters.elapsed(), counters.rate() / 1e6,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

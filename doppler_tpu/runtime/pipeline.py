@@ -1,0 +1,196 @@
+"""The end-to-end streaming pipeline: bytes in → device chunk kernel → bytes out.
+
+Host/device split (SURVEY §7 design stance): the host does O(blocks) work —
+framing, schedule evaluation, staging, telemetry — while the device runs one
+jit-compiled fused kernel per *chunk* (= ``chunk_blocks`` reference blocks)
+covering decode → NCO mix → (optional resample) → encode.
+
+Chunks have a fixed device shape ``(B, L)`` (B = chunk_blocks, L = samples
+per reference block), so there is exactly one compilation per direction; the
+stream tail is zero-padded to the chunk shape and the valid sample count is
+sliced off on the host (padding is harmless: the mixer is elementwise and the
+pad never reaches the output bytes).
+
+Doppler schedules are evaluated per reference-sized block (8192 bytes,
+main.rs:49) regardless of chunk size, so track-mode output is invariant to
+the chunk width — the staircase semantics live entirely in the scheduler.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Protocol, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from doppler_tpu.ops import codec, nco
+from doppler_tpu.runtime import stream as streaming
+from doppler_tpu.runtime.telemetry import Counters, get_logger
+
+__all__ = ["Scheduler", "ConstScheduler", "Pipeline"]
+
+log = get_logger("pipeline")
+
+
+class Scheduler(Protocol):
+    """Produces the per-block frequency shift (Hz) for successive blocks.
+
+    ``shifts(block_counts)`` is called once per chunk with the sample count of
+    each block about to be processed, in order, and must return one shift per
+    block.  Implementations may be stateful (the reference's track loop is —
+    its Doppler staircase depends on cumulative sample counts, main.rs:156-183);
+    the pipeline guarantees blocks are presented exactly once, in stream order.
+    """
+
+    def shifts(self, block_counts: Sequence[int]) -> Sequence[float]: ...
+
+
+class ConstScheduler:
+    """const mode: one fixed shift for the whole stream (main.rs:101-119)."""
+
+    def __init__(self, shift_hz: float):
+        self.shift_hz = float(shift_hz)
+
+    def shifts(self, block_counts: Sequence[int]) -> Sequence[float]:
+        return [self.shift_hz] * len(block_counts)
+
+
+@functools.partial(jax.jit, static_argnames=("intype", "outtype"))
+def _chunk_kernel(data, d_hi, d_lo, n0_hi, n0_lo, *, intype: str, outtype: str):
+    """Fused per-chunk device function over a (B, L) block grid."""
+    if intype == "i16":
+        i, q = codec.i16_words_to_iq(data)
+    else:
+        i, q = data[..., 0], data[..., 1]
+    i, q = nco.mix_blocks(i, q, d_hi, d_lo, n0_hi, n0_lo)
+    if outtype == "i16":
+        return codec.iq_to_i16_words(i, q)
+    return jnp.stack([i, q], axis=-1)
+
+
+class Pipeline:
+    """Streaming Doppler corrector.
+
+    Parameters mirror the reference CLI surface (SURVEY §5 config): sample
+    rate, input/output IQ dtypes, and a :class:`Scheduler` supplying per-block
+    shifts.  ``block_bytes`` defaults to the reference's 8192 so track-mode
+    schedules match the reference bit-for-bit; ``chunk_blocks`` controls how
+    many such blocks form one device dispatch.
+    """
+
+    def __init__(
+        self,
+        samplerate: int,
+        intype: str,
+        outtype: str,
+        scheduler: Scheduler,
+        *,
+        block_bytes: int = streaming.REFERENCE_BLOCK_BYTES,
+        chunk_blocks: int = 256,
+        quantize_ratio_f32: bool = True,
+        flush_every_chunk: bool = True,
+    ):
+        if samplerate <= 0:
+            raise ValueError("samplerate must be positive")
+        self.samplerate = int(samplerate)
+        self.intype = intype
+        self.outtype = outtype
+        self.scheduler = scheduler
+        self.block_bytes = int(block_bytes)
+        self.chunk_blocks = int(chunk_blocks)
+        self.quantize_ratio_f32 = quantize_ratio_f32
+        self.flush_every_chunk = flush_every_chunk
+
+        self._bps_in = streaming.bytes_per_sample(intype)
+        self._bps_out = streaming.bytes_per_sample(outtype)
+        if self.block_bytes % self._bps_in != 0:
+            raise ValueError(
+                f"block_bytes={block_bytes} not a multiple of the "
+                f"{intype} sample size {self._bps_in}"
+            )
+        self.block_samples = self.block_bytes // self._bps_in
+        self._sample_offset = 0  # absolute index of next input sample
+
+    # -- staging ------------------------------------------------------------
+
+    def _stage_in(self, data: bytes, total_samples: int):
+        """Raw chunk bytes → fixed-shape (B, L[, 2]) device-ready array."""
+        B, L = self.chunk_blocks, self.block_samples
+        if self.intype == "i16":
+            flat = np.zeros(B * L, dtype="<i4")
+            words = codec.bytes_to_i16_words(data)
+            flat[: words.size] = words
+            return flat.reshape(B, L)
+        flat = np.zeros((B * L, 2), dtype="<f4")
+        pairs = codec.bytes_to_f32_pairs(data)
+        flat[: pairs.shape[0]] = pairs
+        return flat.reshape(B, L, 2)
+
+    def _stage_out(self, out, total_samples: int) -> bytes:
+        if self.outtype == "i16":
+            flat = np.asarray(out).reshape(-1)
+            return codec.i16_words_to_bytes(flat[:total_samples])
+        flat = np.asarray(out).reshape(-1, 2)
+        return codec.f32_pairs_to_bytes(flat[:total_samples])
+
+    # -- main loop ----------------------------------------------------------
+
+    def process_chunk(self, chunk: streaming.Chunk) -> bytes:
+        """Process one chunk of blocks; returns output bytes."""
+        counts = [size // self._bps_in for size in chunk.block_sizes]
+        total = sum(counts)
+        if total == 0:
+            # still advance the scheduler for empty tail blocks
+            if counts:
+                self.scheduler.shifts(counts)
+            return b""
+        shifts = list(self.scheduler.shifts(counts))
+        assert len(shifts) == len(counts)
+
+        B = self.chunk_blocks
+        d_hi = np.zeros(B, dtype=np.uint32)
+        d_lo = np.zeros(B, dtype=np.uint32)
+        dh, dl = nco.make_block_increments(
+            shifts, self.samplerate, quantize_f32=self.quantize_ratio_f32
+        )
+        d_hi[: dh.size] = dh
+        d_lo[: dl.size] = dl
+
+        n0 = self._sample_offset
+        staged = self._stage_in(chunk.data, total)
+        out = _chunk_kernel(
+            jnp.asarray(staged),
+            jnp.asarray(d_hi),
+            jnp.asarray(d_lo),
+            jnp.uint32(n0 >> 32),
+            jnp.uint32(n0 & 0xFFFFFFFF),
+            intype=self.intype,
+            outtype=self.outtype,
+        )
+        self._sample_offset = n0 + total
+        return self._stage_out(out, total)
+
+    def run(self, fin, fout) -> Counters:
+        """Pump ``fin`` → ``fout`` until EOF (short read), reference framing."""
+        reader = streaming.BlockReader(fin, self.block_bytes)
+        counters = Counters()
+        while True:
+            chunk = reader.read_chunk(self.chunk_blocks)
+            out_bytes = self.process_chunk(chunk)
+            if out_bytes:
+                fout.write(out_bytes)
+                if self.flush_every_chunk:
+                    fout.flush()
+            counters.add(
+                samples=len(out_bytes) // self._bps_out,
+                bytes_in=len(chunk.data),
+                bytes_out=len(out_bytes),
+                blocks=chunk.n_blocks,
+            )
+            if chunk.eof:
+                break
+        fout.flush()
+        return counters

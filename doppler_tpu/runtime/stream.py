@@ -1,0 +1,96 @@
+"""Block framing for IQ byte streams — the host I/O edge of the pipeline.
+
+Mirrors the reference's framing contract (main.rs:49,63,98):
+
+- the stream is consumed in fixed ``block_bytes`` reads (reference: 8192);
+- a *short* read (fewer bytes than requested) marks EOF;
+- the partial tail block IS processed before stopping;
+- bytes beyond the last whole IQ pair are dropped (the reference would have
+  panicked on them — dsp.rs:87,103; we degrade gracefully and log).
+
+The TPU pipeline consumes many reference-sized blocks per device dispatch
+(a *chunk*), so the reader also exposes ``read_chunk`` which gathers up to
+``n_blocks`` blocks while preserving per-block accounting for the track-mode
+Doppler staircase (SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+
+__all__ = ["BlockReader", "Chunk", "REFERENCE_BLOCK_BYTES", "bytes_per_sample"]
+
+REFERENCE_BLOCK_BYTES = 8192  # main.rs:49
+
+
+def bytes_per_sample(dtype: str) -> int:
+    """Wire bytes per IQ sample pair: i16 → 4, f32 → 8."""
+    if dtype == "i16":
+        return 4
+    if dtype == "f32":
+        return 8
+    raise ValueError(f"unknown IQ dtype {dtype!r} (want 'i16' or 'f32')")
+
+
+@dataclass
+class Chunk:
+    """A batch of reference-sized blocks read from the stream.
+
+    ``data``          : the raw bytes (``sum(block_sizes)`` long).
+    ``block_sizes``   : bytes per constituent block; all equal to
+                        ``block_bytes`` except possibly the last.
+    ``eof``           : True if the stream ended inside this chunk.
+    """
+
+    data: bytes
+    block_sizes: list[int]
+    eof: bool
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.block_sizes)
+
+
+class BlockReader:
+    """Reads a binary stream in reference-block units.
+
+    ``read_block`` returns ``(data, eof)`` with the reference's exact
+    semantics: ``eof`` iff fewer than ``block_bytes`` arrived.  Uses
+    ``readinto``-style accumulation so pipe fragmentation (common under
+    ``rtl_fm | doppler``) doesn't produce spurious EOFs — the reference's
+    byte-iterator ``take(8192)`` has the same keep-reading behavior.
+    """
+
+    def __init__(self, f: io.RawIOBase | io.BufferedIOBase, block_bytes: int = REFERENCE_BLOCK_BYTES):
+        if block_bytes <= 0:
+            raise ValueError("block_bytes must be positive")
+        self._f = f
+        self.block_bytes = block_bytes
+
+    def read_block(self) -> tuple[bytes, bool]:
+        want = self.block_bytes
+        parts: list[bytes] = []
+        got = 0
+        while got < want:
+            piece = self._f.read(want - got)
+            if not piece:
+                break
+            parts.append(piece)
+            got += len(piece)
+        data = b"".join(parts)
+        return data, len(data) != want
+
+    def read_chunk(self, n_blocks: int) -> Chunk:
+        """Gather up to ``n_blocks`` blocks (stopping early at EOF)."""
+        datas: list[bytes] = []
+        sizes: list[int] = []
+        eof = False
+        for _ in range(n_blocks):
+            data, eof = self.read_block()
+            if data:
+                datas.append(data)
+                sizes.append(len(data))
+            if eof:
+                break
+        return Chunk(b"".join(datas), sizes, eof)

@@ -1,0 +1,121 @@
+"""End-to-end const-mode tests: Pipeline + CLI vs the reference oracle."""
+
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from doppler_tpu import oracle
+from doppler_tpu.runtime.pipeline import ConstScheduler, Pipeline
+
+RNG = np.random.default_rng(0xE2E)
+FS = 256000
+
+
+def make_f32_stream(n):
+    x = (0.3 * (RNG.normal(size=n) + 1j * RNG.normal(size=n))).astype(np.complex64)
+    return oracle.encode_f32_bytes(x), x
+
+
+def make_i16_stream(n):
+    raw = RNG.integers(-32768, 32768, size=2 * n, dtype=np.int16)
+    return raw.astype("<i2").tobytes(), oracle.decode_i16_bytes(raw.tobytes())
+
+
+def oracle_const(buf, intype, outtype, shift, fs):
+    """Reference binary semantics for const mode over the whole stream."""
+    dec = oracle.decode_i16_bytes if intype == "i16" else oracle.decode_f32_bytes
+    enc = oracle.encode_i16_bytes if outtype == "i16" else oracle.encode_f32_bytes
+    mixed, _ = oracle.shift_frequency_oracle(dec(buf), 0, shift, fs)
+    return enc(mixed)
+
+
+def run_pipeline(buf, intype, outtype, shift, fs=FS, chunk_blocks=4):
+    pipe = Pipeline(fs, intype, outtype, ConstScheduler(shift),
+                    chunk_blocks=chunk_blocks)
+    out = io.BytesIO()
+    pipe.run(io.BytesIO(buf), out)
+    return out.getvalue()
+
+
+def test_const_f32_to_i16_matches_oracle():
+    # BASELINE config 1: const -15 kHz, f32 in, i16 out.
+    buf, _ = make_f32_stream(3000)  # 24000 bytes: 2 full blocks + tail
+    got = run_pipeline(buf, "f32", "i16", -15000.0)
+    want = oracle_const(buf, "f32", "i16", -15000.0, FS)
+    assert len(got) == len(want)
+    snr = oracle.snr_db(oracle.decode_i16_bytes(want), oracle.decode_i16_bytes(got))
+    assert snr > 60.0, snr
+    # and the vast majority of i16 words should be bit-identical
+    same = np.mean(
+        np.frombuffer(got, dtype="<i2") == np.frombuffer(want, dtype="<i2")
+    )
+    assert same > 0.9, same
+
+
+def test_const_i16_to_i16_matches_oracle():
+    buf, _ = make_i16_stream(5000)
+    got = run_pipeline(buf, "i16", "i16", 5000.0)
+    want = oracle_const(buf, "i16", "i16", 5000.0, FS)
+    assert len(got) == len(want)
+    snr = oracle.snr_db(oracle.decode_i16_bytes(want), oracle.decode_i16_bytes(got))
+    assert snr > 60.0, snr
+
+
+def test_const_i16_to_f32_roundtrip_types():
+    buf, x = make_i16_stream(2048)
+    got = run_pipeline(buf, "i16", "f32", 0.0)
+    # zero shift: output f32 must equal decoded input exactly
+    np.testing.assert_array_equal(oracle.decode_f32_bytes(got), x)
+
+
+def test_chunk_width_invariance():
+    # Output must not depend on how many blocks form a device dispatch.
+    buf, _ = make_f32_stream(6000)
+    a = run_pipeline(buf, "f32", "f32", -12345.6, chunk_blocks=1)
+    b = run_pipeline(buf, "f32", "f32", -12345.6, chunk_blocks=7)
+    assert a == b
+
+
+def test_empty_stream():
+    assert run_pipeline(b"", "i16", "i16", 1000.0) == b""
+
+
+def test_single_partial_block():
+    buf, _ = make_i16_stream(10)
+    got = run_pipeline(buf, "i16", "i16", 1000.0)
+    want = oracle_const(buf, "i16", "i16", 1000.0, FS)
+    assert len(got) == len(want) == 40
+
+
+def test_cli_const_subprocess():
+    """Full process-boundary check: bytes | python -m doppler_tpu | bytes."""
+    buf, _ = make_f32_stream(2500)
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, "-m", "doppler_tpu", "const",
+         "-s", str(FS), "-i", "f32", "-o", "i16",
+         "--shift", "-15000", "--platform", "cpu", "--chunk-blocks", "4"],
+        input=buf, stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    want = run_pipeline(buf, "f32", "i16", -15000.0)
+    assert proc.stdout == want
+    # telemetry goes to stderr only
+    assert b"constant shift mode" in proc.stderr
+
+
+def test_cli_bad_location_errors():
+    proc = subprocess.run(
+        [sys.executable, "-m", "doppler_tpu", "track",
+         "-s", "256000", "-i", "i16", "--tlefile", "/nonexistent",
+         "--tlename", "X", "--location", "not-a-location",
+         "--frequency", "437505000", "--platform", "cpu"],
+        input=b"", stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        timeout=120,
+    )
+    assert proc.returncode == 1
+    assert b"location" in proc.stderr.lower()
