@@ -29,10 +29,16 @@ import numpy as np
 __all__ = [
     "rate_to_q64",
     "split_u64",
+    "mul64_mod",
     "umulhi32",
     "phase_q32",
     "phase_cycles_f32",
 ]
+
+
+def mul64_mod(n: int, d: int) -> int:
+    """Host-side exact ``(n · d) mod 2^64`` (python ints)."""
+    return (int(n) * int(d)) % (1 << 64)
 
 _U32 = jnp.uint32
 _MASK16 = np.uint32(0xFFFF)

@@ -1,25 +1,27 @@
 """NCO frequency shifter — the framework's hot kernel, as pure array math.
 
 Reference semantics (``src/dsp.rs:117-134`` + ``src/complex.c:33-39``):
-per sample ``out[n] = in[n] · exp(i · (-2π · frac(r·n)))`` with
-``r = shift_hz/samplerate`` and ``n`` the absolute sample index — SURVEY §3.4
-verifies the reference's samplenum-reset makes the phase a *pure function of
-n*.  Pure-function phase means:
+per sample ``out = in · exp(i · (-2π · f32((shift/fs)·samplenum)))`` where
+``samplenum`` increments but **resets to 1** whenever the f32 product
+``(shift/fs)·samplenum`` has zero fractional part.  Two distinct reset kinds
+fall out of f32 arithmetic:
 
-- no sequential state → the sample axis is embarrassingly parallel;
-- sharding the time axis over a mesh needs zero mixer communication;
-- resume-from-checkpoint is just "seek to sample offset n".
+- *exact* resets — the ratio is a dyadic rational (e.g. −15000/256000 =
+  −15/256) and the product really is an integer.  These are phase-preserving:
+  the post-reset phase equals the absolute-index phase.
+- *rounding* resets — a large product **rounds** to an integer (ulp(r·n) grows
+  with n).  These introduce a small phase offset, and in track mode — where
+  the shift changes per block — a rounding reset makes the emitted phase
+  diverge wholesale from the absolute-index pure function, because the
+  counter value carries across the rate change.
 
-Phase is computed with exact Q0.64 modular fixed-point (``fixedpoint.py``),
-replacing both the reference's per-sample ``cexpf`` C FFI call and its f32
-phase drift with on-chip VPU integer lanes + one sin/cos pair per sample.
-
-Track mode varies ``shift_hz`` per input block (main.rs:161-205): the mixer
-takes *per-block* Q0.64 increments and applies them to a ``(blocks, block)``
-reshaped view — still stateless across blocks, since each block's phase is
-``frac(r_k · n)`` with absolute ``n`` (the reference re-derives phase from the
-same product when the shift changes; phase is intentionally not continuously
-integrated — see SURVEY §3.4 "numerical contract").
+The kernel therefore computes phase as ``(j·D + C) mod 2^64`` in exact Q0.64
+fixed point (``fixedpoint.py``) with **per-block** rate words ``D`` and phase
+offset words ``C``, plus an optional two-segment split ``(C1, C2, t)`` so a
+reset *inside* a block switches offsets at local index ``t``.  The host plans
+``C`` (see ``ops.phase_plan``), folding the whole samplenum history into
+per-block constants — the device stays stateless and the sample axis shards
+with zero communication.
 """
 
 from __future__ import annotations
@@ -29,68 +31,66 @@ import numpy as np
 
 from doppler_tpu.ops import fixedpoint as fxp
 
-__all__ = ["nco_corrector", "mix", "mix_blocks", "make_block_increments"]
+__all__ = ["nco_corrector_blocks", "mix", "mix_blocks"]
 
 _TWO_PI = np.float32(2.0 * np.pi)
 
 
-def _sample_index_pair(n0_hi, n0_lo, offsets):
-    """Absolute sample index (n0 + offsets) as carry-propagated uint32 pair."""
-    off = offsets.astype(jnp.uint32)
-    lo = jnp.asarray(n0_lo, jnp.uint32) + off
-    carry = (lo < off).astype(jnp.uint32)
-    hi = jnp.asarray(n0_hi, jnp.uint32) + carry
-    return hi, lo
+def _phase_q32_with_offset(j, d_hi, d_lo, c_hi, c_lo):
+    """Bits 63..32 of ``(j·D + C) mod 2^64`` — all uint32 lane math, exact."""
+    j = j.astype(jnp.uint32)
+    jd_lo = j * d_lo
+    jd_hi = fxp.umulhi32(j, d_lo) + j * d_hi
+    lo = jd_lo + c_lo
+    carry = (lo < jd_lo).astype(jnp.uint32)
+    return jd_hi + c_hi + carry
 
 
-def nco_corrector(d_hi, d_lo, n0_hi, n0_lo, offsets):
-    """Corrector tone e^{-2πi·frac(r·n)} for n = n0 + offsets, planar (re, im).
+def nco_corrector_blocks(d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t, offsets):
+    """Corrector tone (re, im) for local offsets within per-block segments.
 
-    All inputs may broadcast: per-block scalars against per-sample offsets.
+    ``offsets``: uint32 local sample indices, shape ``(..., L)``.
+    Per-block words broadcast against it; segment 2 applies at ``j >= t``.
     """
-    n_hi, n_lo = _sample_index_pair(n0_hi, n0_lo, offsets)
-    q32 = fxp.phase_q32(n_hi, n_lo, d_hi, d_lo)
-    cycles = fxp.phase_cycles_f32(q32)
-    theta = -_TWO_PI * cycles
+    q_a = _phase_q32_with_offset(offsets, d_hi, d_lo, c1_hi, c1_lo)
+    q_b = _phase_q32_with_offset(offsets, d_hi, d_lo, c2_hi, c2_lo)
+    q32 = jnp.where(offsets < t.astype(jnp.uint32), q_a, q_b)
+    theta = -_TWO_PI * fxp.phase_cycles_f32(q32)
     return jnp.cos(theta), jnp.sin(theta)
 
 
-def mix(i, q, d_hi, d_lo, n0_hi=0, n0_lo=0):
-    """Shift a planar IQ vector by the Q0.64 rate ``D`` starting at index n0.
+def mix(i, q, d_hi, d_lo, c_hi=0, c_lo=0):
+    """Shift a planar IQ vector: phase(j) = (j·D + C)/2^64 cycles.
 
-    Complex multiply (i + jq)·(c + js) done in planar form; XLA fuses the
-    whole decode→mix→encode chain into one HBM-bandwidth-bound loop.
+    For a stream segment starting at absolute sample n0 with no reset quirk,
+    pass ``C = (n0·D) mod 2^64`` (see ``fixedpoint.mul64_mod``).
     """
     offsets = jnp.arange(i.shape[-1], dtype=jnp.uint32)
-    c, s = nco_corrector(d_hi, d_lo, n0_hi, n0_lo, offsets)
+    d_hi = jnp.asarray(d_hi, jnp.uint32)
+    d_lo = jnp.asarray(d_lo, jnp.uint32)
+    c_hi = jnp.asarray(c_hi, jnp.uint32)
+    c_lo = jnp.asarray(c_lo, jnp.uint32)
+    L = jnp.uint32(i.shape[-1])
+    c, s = nco_corrector_blocks(d_hi, d_lo, c_hi, c_lo, c_hi, c_lo,
+                                jnp.asarray(L), offsets)
     return i * c - q * s, i * s + q * c
 
 
-def mix_blocks(i, q, d_hi, d_lo, n0_hi=0, n0_lo=0):
-    """Track-mode mixer: per-block rates over a ``(..., blocks, block_len)`` view.
+def mix_blocks(i, q, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t):
+    """Per-block planned mixer over ``(..., B, L)`` planar IQ.
 
-    ``i, q``  : float32 ``(..., B, L)`` planar IQ.
-    ``d_hi/lo``: uint32 ``(B,)`` (or broadcastable) per-block Q0.64 increments.
-    ``n0``    : absolute sample index of element [..., 0, 0].
-
-    The absolute index of element [b, l] is n0 + b·L + l; phase uses that
-    block's own rate, mirroring main.rs:177 (each 8192-byte block mixed with
-    the Doppler shift computed for it).
+    All plan arrays have shape ``(B,)`` (uint32; ``t`` in [0, L] with L
+    meaning "no segment switch").  Mirrors main.rs:177: each reference block
+    is mixed with its own scheduled shift and its own samplenum continuation.
     """
-    B, L = i.shape[-2], i.shape[-1]
-    block_off = (jnp.arange(B, dtype=jnp.uint32) * jnp.uint32(L))[:, None]
-    offsets = block_off + jnp.arange(L, dtype=jnp.uint32)[None, :]
-    d_hi = jnp.asarray(d_hi, jnp.uint32).reshape(-1, 1)
-    d_lo = jnp.asarray(d_lo, jnp.uint32).reshape(-1, 1)
-    c, s = nco_corrector(d_hi, d_lo, n0_hi, n0_lo, offsets)
+    L = i.shape[-1]
+    offsets = jnp.arange(L, dtype=jnp.uint32)[None, :]
+
+    def col(x):
+        return jnp.asarray(x, jnp.uint32).reshape(-1, 1)
+
+    c, s = nco_corrector_blocks(
+        col(d_hi), col(d_lo), col(c1_hi), col(c1_lo),
+        col(c2_hi), col(c2_lo), col(t), offsets,
+    )
     return i * c - q * s, i * s + q * c
-
-
-def make_block_increments(shifts_hz, samplerate, *, quantize_f32=True):
-    """Host: per-block shift schedule (Hz) → (d_hi, d_lo) uint32 arrays."""
-    d_hi = np.empty(len(shifts_hz), dtype=np.uint32)
-    d_lo = np.empty(len(shifts_hz), dtype=np.uint32)
-    for k, s in enumerate(shifts_hz):
-        d = fxp.rate_to_q64(s, samplerate, quantize_f32=quantize_f32)
-        d_hi[k], d_lo[k] = fxp.split_u64(d)
-    return d_hi, d_lo

@@ -1,0 +1,167 @@
+"""Host-side NCO phase planning: samplenum emulation → per-block (D, C, t).
+
+The reference's mutable NCO state is a single counter with a reset quirk
+(``src/dsp.rs:125-130``; see ``ops.nco`` for the taxonomy of resets).  This
+module runs that counter **on the host, exactly**, and compiles its effect
+into the per-block constants the stateless device kernel consumes:
+
+    phase(local j) = (j·D_b + C_b(j)) / 2^64 cycles,
+    C_b(j) = C1_b  for j <  t_b   (samplenum continuing from prior blocks)
+           = C2_b  for j >= t_b   (samplenum restarted at the block's first
+                                    reset; t_b = reset position + 1)
+
+Only the *first* reset per block gets an offset switch: subsequent resets
+within a block are necessarily exact-periodic (the rounding kind needs
+samplenum ≳ 2·10^4, far beyond one block after a restart) and exact resets
+are phase-preserving to < 2^-40 cycles under the Q0.64 representation, so a
+single segment switch reproduces the reference's emitted phase to well below
+its own f32 noise floor.
+
+Reset detection mirrors the reference bit-for-bit: the mask is
+``f32(f32(ratio) · f32(n)) fract == 0`` evaluated vectorized per block.  Cost
+is O(samples) on the host but a single fused NumPy pass; for throughput-bound
+deployments ``reset_quirk=False`` skips it and uses pure absolute-index phase
+(cleaner output, zero host scan).
+
+The counter is u32 in the reference and wraps in release builds; the state
+tracks it mod 2^32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from fractions import Fraction
+from typing import Sequence
+
+import numpy as np
+
+from doppler_tpu.ops import fixedpoint as fxp
+
+__all__ = ["NCOState", "BlockPlan", "plan_blocks"]
+
+_M64 = (1 << 64) - 1
+
+
+@dataclass
+class NCOState:
+    """The reference's entire mutable DSP state (SURVEY §5 checkpointing):
+    the samplenum counter plus the absolute stream offset."""
+
+    samplenum: int = 0
+    abs_offset: int = 0
+
+
+@dataclass
+class BlockPlan:
+    """Device-ready plan arrays for one chunk of B blocks (all uint32)."""
+
+    d_hi: np.ndarray
+    d_lo: np.ndarray
+    c1_hi: np.ndarray
+    c1_lo: np.ndarray
+    c2_hi: np.ndarray
+    c2_lo: np.ndarray
+    t: np.ndarray
+
+    @classmethod
+    def zeros(cls, n: int) -> "BlockPlan":
+        z = lambda: np.zeros(n, dtype=np.uint32)  # noqa: E731
+        return cls(z(), z(), z(), z(), z(), z(), z())
+
+    def set(self, k: int, d: int, c1: int, c2: int, t: int) -> None:
+        self.d_hi[k], self.d_lo[k] = fxp.split_u64(d)
+        self.c1_hi[k], self.c1_lo[k] = fxp.split_u64(c1)
+        self.c2_hi[k], self.c2_lo[k] = fxp.split_u64(c2)
+        self.t[k] = t
+
+
+def _ratio_f32(shift_hz: float, samplerate: int) -> np.float32:
+    return np.float32(np.float32(shift_hz) / np.float32(samplerate))
+
+
+def _first_reset(r32: np.float32, m0: int, count: int) -> int | None:
+    """Local index of the first samplenum reset in this block, else None.
+
+    Mirrors dsp.rs:125-130: reset fires at local j when
+    ``fract(f32(r32 · f32(m0 + j))) == 0``.
+    """
+    if count == 0:
+        return None
+    n = np.arange(m0, m0 + count, dtype=np.float64).astype(np.float32)
+    prod = np.float32(r32) * n           # f32 elementwise product
+    frac = prod - np.trunc(prod)         # Rust fract(): toward-zero remainder
+    hits = np.nonzero(frac == np.float32(0.0))[0]
+    return int(hits[0]) if hits.size else None
+
+
+def _exact_period(r32: np.float32) -> int | None:
+    """Denominator q of the (dyadic) f32 ratio: r·n is a true integer iff
+    q | n.  Returns None for q too large to matter within a block run."""
+    fr = Fraction(float(r32)).limit_denominator(1 << 62)
+    q = fr.denominator
+    return q if q <= (1 << 31) else None
+
+
+def _state_after_run(r32: np.float32, v: int, count: int) -> int:
+    """samplenum after processing ``count`` samples starting at value ``v``.
+
+    Trajectory: n increments from v; resets to 1 at each j where
+    fract(r·n)==0.  Uses the exact-period closed form when the ratio's dyadic
+    period q fits in the remaining run (avoiding O(count/q) scans); otherwise
+    re-scans from the restarted counter — rounding resets are rare, so the
+    loop runs at most a couple of iterations.
+    """
+    remaining = count
+    while remaining > 0:
+        j = _first_reset(r32, v, remaining)
+        if j is None:
+            return (v + remaining) % (1 << 32)
+        remaining -= j + 1        # samples left after the reset fires
+        v = 1
+        q = _exact_period(r32)
+        if q is not None and q <= remaining:
+            # periodic from here: counter cycles 1..q → (rem mod q) + 1
+            return remaining % q + 1
+    return v % (1 << 32)
+
+
+def plan_blocks(
+    shifts_hz: Sequence[float],
+    counts: Sequence[int],
+    samplerate: int,
+    state: NCOState,
+    block_len: int,
+    *,
+    quantize_f32: bool = True,
+    reset_quirk: bool = True,
+) -> BlockPlan:
+    """Compile per-block shifts + the running samplenum into kernel constants.
+
+    ``counts[k]`` is the true sample count of block k (≤ block_len; only the
+    final block may be short).  Advances ``state`` in place.
+    """
+    B = len(counts)
+    plan = BlockPlan.zeros(B)
+    for k, (s_hz, count) in enumerate(zip(shifts_hz, counts)):
+        d = fxp.rate_to_q64(s_hz, samplerate, quantize_f32=quantize_f32)
+        if not reset_quirk:
+            c1 = fxp.mul64_mod(state.abs_offset, d)
+            plan.set(k, d, c1, c1, block_len)
+            state.abs_offset += count
+            state.samplenum = state.abs_offset
+            continue
+
+        r32 = _ratio_f32(s_hz, samplerate)
+        m0 = state.samplenum
+        c1 = fxp.mul64_mod(m0, d)
+        j0 = _first_reset(r32, m0, count)
+        if j0 is None:
+            plan.set(k, d, c1, c1, block_len)
+        else:
+            # segment 2: samplenum restarts at 1 for local index j0+1,
+            # i.e. n_eff(j) = j - j0  →  C2 = (−j0 · D) mod 2^64
+            c2 = fxp.mul64_mod(-j0, d)
+            plan.set(k, d, c1, c2, j0 + 1)
+        state.samplenum = _state_after_run(r32, m0, count)
+        state.abs_offset += count
+    return plan

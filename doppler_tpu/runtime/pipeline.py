@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from doppler_tpu.ops import codec, nco
+from doppler_tpu.ops.phase_plan import NCOState, plan_blocks
 from doppler_tpu.runtime import stream as streaming
 from doppler_tpu.runtime.telemetry import Counters, get_logger
 
@@ -59,13 +60,14 @@ class ConstScheduler:
 
 
 @functools.partial(jax.jit, static_argnames=("intype", "outtype"))
-def _chunk_kernel(data, d_hi, d_lo, n0_hi, n0_lo, *, intype: str, outtype: str):
+def _chunk_kernel(data, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
+                  *, intype: str, outtype: str):
     """Fused per-chunk device function over a (B, L) block grid."""
     if intype == "i16":
         i, q = codec.i16_words_to_iq(data)
     else:
         i, q = data[..., 0], data[..., 1]
-    i, q = nco.mix_blocks(i, q, d_hi, d_lo, n0_hi, n0_lo)
+    i, q = nco.mix_blocks(i, q, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t)
     if outtype == "i16":
         return codec.iq_to_i16_words(i, q)
     return jnp.stack([i, q], axis=-1)
@@ -91,6 +93,7 @@ class Pipeline:
         block_bytes: int = streaming.REFERENCE_BLOCK_BYTES,
         chunk_blocks: int = 256,
         quantize_ratio_f32: bool = True,
+        reset_quirk: bool = True,
         flush_every_chunk: bool = True,
     ):
         if samplerate <= 0:
@@ -102,7 +105,9 @@ class Pipeline:
         self.block_bytes = int(block_bytes)
         self.chunk_blocks = int(chunk_blocks)
         self.quantize_ratio_f32 = quantize_ratio_f32
+        self.reset_quirk = reset_quirk
         self.flush_every_chunk = flush_every_chunk
+        self.nco_state = NCOState()   # the stream's entire resumable DSP state
 
         self._bps_in = streaming.bytes_per_sample(intype)
         self._bps_out = streaming.bytes_per_sample(outtype)
@@ -151,26 +156,24 @@ class Pipeline:
         assert len(shifts) == len(counts)
 
         B = self.chunk_blocks
-        d_hi = np.zeros(B, dtype=np.uint32)
-        d_lo = np.zeros(B, dtype=np.uint32)
-        dh, dl = nco.make_block_increments(
-            shifts, self.samplerate, quantize_f32=self.quantize_ratio_f32
+        plan = plan_blocks(
+            shifts, counts, self.samplerate, self.nco_state, self.block_samples,
+            quantize_f32=self.quantize_ratio_f32, reset_quirk=self.reset_quirk,
         )
-        d_hi[: dh.size] = dh
-        d_lo[: dl.size] = dl
+        pad = B - len(counts)
+        arrs = [plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+                plan.c2_hi, plan.c2_lo, plan.t]
+        if pad:
+            arrs = [np.pad(a, (0, pad)) for a in arrs]
 
-        n0 = self._sample_offset
         staged = self._stage_in(chunk.data, total)
         out = _chunk_kernel(
             jnp.asarray(staged),
-            jnp.asarray(d_hi),
-            jnp.asarray(d_lo),
-            jnp.uint32(n0 >> 32),
-            jnp.uint32(n0 & 0xFFFFFFFF),
+            *(jnp.asarray(a) for a in arrs),
             intype=self.intype,
             outtype=self.outtype,
         )
-        self._sample_offset = n0 + total
+        self._sample_offset += total
         return self._stage_out(out, total)
 
     def run(self, fin, fout) -> Counters:

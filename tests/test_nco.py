@@ -1,4 +1,4 @@
-"""NCO mixer tests: fixed-point phase vs. the sequential reference oracle."""
+"""NCO mixer tests: fixed-point phase + samplenum emulation vs the oracle."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -6,18 +6,52 @@ import jax.numpy as jnp
 from doppler_tpu import oracle
 from doppler_tpu.ops import fixedpoint as fxp
 from doppler_tpu.ops import nco
+from doppler_tpu.ops.phase_plan import NCOState, plan_blocks
 
 RNG = np.random.default_rng(0x17)
 
 
-def run_mix(x, shift_hz, samplerate, n0=0):
+def run_mix_abs(x, shift_hz, samplerate, n0=0):
+    """Mixer with pure absolute-index phase starting at sample n0."""
     d = fxp.rate_to_q64(shift_hz, samplerate)
-    d_hi, d_lo = fxp.split_u64(d)
-    n0_hi, n0_lo = fxp.split_u64(n0)
+    c = fxp.mul64_mod(n0, d)
     i, q = nco.mix(
-        jnp.asarray(x.real), jnp.asarray(x.imag), d_hi, d_lo, n0_hi, n0_lo
+        jnp.asarray(x.real), jnp.asarray(x.imag),
+        *fxp.split_u64(d), *fxp.split_u64(c),
     )
     return np.asarray(i) + 1j * np.asarray(q)
+
+
+def run_mix_planned(x, shifts, counts, samplerate, state=None):
+    """Mixer with full samplenum-reset emulation over equal-length blocks."""
+    state = state or NCOState()
+    L = counts[0]
+    assert all(c == L for c in counts[:-1])
+    B = len(counts)
+    plan = plan_blocks(shifts, counts, samplerate, state, L)
+    xi = np.zeros(B * L, dtype=np.float32)
+    xq = np.zeros(B * L, dtype=np.float32)
+    xi[: x.size] = x.real
+    xq[: x.size] = x.imag
+    i, q = nco.mix_blocks(
+        jnp.asarray(xi).reshape(B, L), jnp.asarray(xq).reshape(B, L),
+        plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+        plan.c2_hi, plan.c2_lo, plan.t,
+    )
+    return (np.asarray(i) + 1j * np.asarray(q)).reshape(-1)[: x.size]
+
+
+def oracle_mix_threaded(x, shifts, counts, samplerate):
+    """Reference loop: sequential f32, samplenum threaded across blocks."""
+    out = np.empty_like(x)
+    sn = 0
+    pos = 0
+    for s, c in zip(shifts, counts):
+        blk = x[pos : pos + c]
+        mixed, sn = oracle.shift_frequency_oracle(blk, sn, s, samplerate)
+        out[pos : pos + c] = mixed
+        pos += c
+    return out
 
 
 def test_umulhi32_exhaustive_random():
@@ -40,88 +74,108 @@ def test_phase_q32_exact_vs_python_ints():
 
 
 def test_phase_purity_sharding_invariance():
-    """Phase at absolute index n is identical whether computed from offset 0
-    or from any shard start — the property that makes time-sharding exact."""
-    d = fxp.rate_to_q64(-15000, 256000)
-    d_hi, d_lo = fxp.split_u64(d)
-    offsets = jnp.arange(4096, dtype=jnp.uint32)
-    c0, s0 = nco.nco_corrector(d_hi, d_lo, *fxp.split_u64(0), offsets)
-    # same absolute indices reached as shard starting at 1_000_000_000_000
-    start = 1_000_000_000_000
-    c1, s1 = nco.nco_corrector(d_hi, d_lo, *fxp.split_u64(start), offsets)
-    c0b, s0b = nco.nco_corrector(
-        d_hi, d_lo, *fxp.split_u64(0),
-        offsets + jnp.uint32(start % (1 << 32)),
+    """Mixing a stream in two shards with C = (n0·D) mod 2^64 equals the
+    contiguous run bitwise — the property that makes time-sharding exact."""
+    x = (RNG.normal(size=8192) + 1j * RNG.normal(size=8192)).astype(np.complex64)
+    whole = run_mix_abs(x, -15000.0, 256000)
+    half = 4096
+    parts = np.concatenate(
+        [run_mix_abs(x[:half], -15000.0, 256000, n0=0),
+         run_mix_abs(x[half:], -15000.0, 256000, n0=half)]
     )
-    del c0, s0  # different indices; just ensure shard-start path == offset path
-    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0b))
-    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0b))
+    np.testing.assert_array_equal(whole, parts)
 
 
-def _snr_case(shift_hz, fs, n_samples, min_snr_db, n0=0):
+def _snr_case(shift_hz, fs, n_samples, min_snr_db):
+    """Planned mixer (reset emulation on) vs the sequential oracle."""
     x = (RNG.normal(size=n_samples) + 1j * RNG.normal(size=n_samples)).astype(
         np.complex64
     ) * np.float32(0.3)
-    ref, _ = oracle.shift_frequency_oracle(x, n0, shift_hz, fs)
-    got = run_mix(x, shift_hz, fs, n0)
+    L = 2048
+    counts = [L] * (n_samples // L) + ([n_samples % L] if n_samples % L else [])
+    shifts = [shift_hz] * len(counts)
+    ref = oracle_mix_threaded(x, shifts, counts, fs)
+    got = run_mix_planned(x, shifts, counts, fs)
     snr = oracle.snr_db(ref, got)
-    assert snr > min_snr_db, f"SNR {snr:.1f} dB < {min_snr_db} (shift={shift_hz}, fs={fs})"
+    assert snr > min_snr_db, f"SNR {snr:.1f} dB < {min_snr_db} (shift={shift_hz})"
 
 
 def test_mix_const_neg15k_256k():
-    # BASELINE config 1: const -15 kHz @ 256 ksps
+    # BASELINE config 1 rate: dyadic ratio −15/256 → exact resets every 256
     _snr_case(-15000.0, 256000, 20000, 70.0)
 
 
 def test_mix_const_815k_2p4m():
-    # The reference pseudo-bench workload (dsp.rs:142-143)
+    # the reference pseudo-bench workload (dsp.rs:142-143)
     _snr_case(815000.0, 2400000, 20000, 70.0)
 
 
-def test_mix_rational_resets():
-    # shift/fs = 1/4: the reference's samplenum reset fires every 4 samples
-    _snr_case(64000.0, 256000, 8192, 90.0)
+def test_mix_const_rounding_resets():
+    # ratio 9660.609375/256000: first *rounding* reset at samplenum 20802 —
+    # crossing it must stay faithful (this is where absolute-index phase
+    # alone would slowly drift from the reference)
+    _snr_case(9660.609375, 256000, 50000, 70.0)
+
+
+def test_mix_track_style_changing_shifts_with_resets():
+    """Changing shifts + rounding resets: the case that breaks pure
+    absolute-index phase (counter carries across rate changes)."""
+    fs = 256000
+    L = 2048
+    B = 40
+    x = (0.3 * (RNG.normal(size=B * L) + 1j * RNG.normal(size=B * L))).astype(
+        np.complex64
+    )
+    # shift drifts slowly like a Doppler ramp through the reset-prone region
+    shifts = [9660.609375 - 0.5 * k for k in range(B)]
+    counts = [L] * B
+    ref = oracle_mix_threaded(x, shifts, counts, fs)
+    got = run_mix_planned(x, shifts, counts, fs)
+    snr = oracle.snr_db(ref, got)
+    assert snr > 70.0, snr
 
 
 def test_mix_zero_shift_is_identity():
     x = (RNG.normal(size=1000) + 1j * RNG.normal(size=1000)).astype(np.complex64)
-    got = run_mix(x, 0.0, 256000)
+    got = run_mix_abs(x, 0.0, 256000)
     np.testing.assert_allclose(got, x, rtol=0, atol=0)
 
 
-def test_mix_blocks_matches_per_block_mix():
+def test_plan_state_matches_oracle_samplenum():
+    """The host closed-form counter must track the scalar loop exactly."""
     fs = 256000
-    L, B = 2048, 6
-    x = (RNG.normal(size=B * L) + 1j * RNG.normal(size=B * L)).astype(np.complex64)
-    shifts = [-15000.0, -14800.0, -14810.5, 3000.25, 0.0, 99999.0]
-    d_hi, d_lo = nco.make_block_increments(shifts, fs)
-    i2, q2 = nco.mix_blocks(
-        jnp.asarray(x.real).reshape(B, L),
-        jnp.asarray(x.imag).reshape(B, L),
-        d_hi, d_lo, 0, 0,
-    )
-    got = (np.asarray(i2) + 1j * np.asarray(q2)).reshape(-1)
-
-    want = np.empty_like(x)
-    for b, s in enumerate(shifts):
-        want[b * L : (b + 1) * L] = run_mix(x[b * L : (b + 1) * L], s, fs, n0=b * L)
-    np.testing.assert_array_equal(got, want)
+    cases = [
+        ([9660.609375] * 30, [2048] * 30),          # rounding resets
+        ([-15000.0] * 10, [2048] * 10),             # exact period 256
+        ([0.0] * 3, [2048] * 3),                    # resets every sample
+        ([64000.0] * 5, [2048] * 5),                # period 4
+        ([9660.609375 - 0.5 * k for k in range(25)], [2048] * 25),
+        ([1234.5] * 4, [2048] * 3 + [100]),         # short tail
+    ]
+    for shifts, counts in cases:
+        x = np.zeros(sum(counts), dtype=np.complex64)
+        sn = 0
+        for s, c in zip(shifts, counts):
+            _, sn = oracle.shift_frequency_oracle(
+                x[:c], sn, s, fs
+            )
+        state = NCOState()
+        plan_blocks(shifts, counts, fs, state, max(counts))
+        assert state.samplenum == sn, (shifts[0], state.samplenum, sn)
 
 
 def test_mix_large_n_still_tracks_ideal():
-    """At huge absolute offsets the fixed-point phase must stay on the ideal
-    curve (the reference's own f32 phase has already degraded there)."""
+    """With the quirk off, huge absolute offsets stay on the ideal curve."""
     fs = 1024000
     shift = 5000.0
     n0 = 10**12
-    n = np.arange(n0, n0 + 4096, dtype=object)
-    r32 = float(np.float32(np.float32(shift) / np.float32(fs)))
     from fractions import Fraction
 
+    r32 = float(np.float32(np.float32(shift) / np.float32(fs)))
     rfrac = Fraction(r32) % 1
-    ideal_cycles = np.array([float((rfrac * int(k)) % 1) for k in n])
+    n = range(n0, n0 + 4096)
+    ideal_cycles = np.array([float((rfrac * k) % 1) for k in n])
     ideal = np.exp(-2j * np.pi * ideal_cycles)
     x = np.ones(4096, dtype=np.complex64)
-    got = run_mix(x, shift, fs, n0=n0)
-    err = np.abs(got - ideal).max()
-    assert err < 1e-5, err
+    got = run_mix_abs(x, shift, fs, n0=n0)
+    assert np.abs(got - ideal).max() < 1e-5
