@@ -1,0 +1,188 @@
+"""Polyphase rational resampler — streaming, stateless-on-device.
+
+The capability half of liquid-dsp's ``msresamp`` (SURVEY §2 #10; BASELINE
+config 3: 1.024 Msps → 48 ksps).  TPU-first formulation: every output sample
+is a *pure function of its absolute output index m*,
+
+    y[m] = Σ_{l<T} bank[(m·Q) mod P, l] · x[⌊m·Q/P⌋ − l]
+
+so the output axis shards exactly like the mixer's time axis; the only
+sequential state is the T−1-sample input history at block boundaries
+(overlap-save) and the next output index — integers, so *resume = seek*
+(SURVEY §5 checkpointing).
+
+The device kernel is a gather + per-output dot over fixed shapes: the host
+passes the absolute alignment as two scalars (phase remainder and history
+offset), so one compilation serves the whole stream including the padded
+tail.  Output counts per chunk vary by ±1 sample (Bresenham-style); the
+device always computes the fixed maximum and the host slices the valid run.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from doppler_tpu.ops.filters import design_polyphase_bank
+
+__all__ = ["RationalResampler", "resample_oracle"]
+
+
+@partial(jax.jit, static_argnames=("P", "Q", "T", "M"))
+def _resample_kernel(xi, xq, bank_rev, rem0, off0, *, P, Q, T, M):
+    """Resample M outputs from the padded input window.
+
+    ``xi, xq``    : (H + N,) planar input, where index 0 sits T−1 samples
+                    before the first output's newest-needed sample.
+    ``bank_rev``  : (P, T) bank with taps reversed (so the window dot is a
+                    forward gather: y = Σ_l rev[p, l] · x[base + l]).
+    ``rem0``      : (m0·Q) mod P for the first output index m0.
+    ``off0``      : position of ⌊m0·Q/P⌋ − (T−1) within the input window.
+    """
+    j = jnp.arange(M, dtype=jnp.int32)
+    u = j * jnp.int32(Q) + rem0.astype(jnp.int32)      # upsampled offsets
+    local_n = u // jnp.int32(P)                        # input advance vs m0
+    phase = u % jnp.int32(P)
+    base = off0.astype(jnp.int32) + local_n            # window start, (M,)
+    idx = base[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    wi = jnp.take(xi, idx, axis=0, mode="clip")
+    wq = jnp.take(xq, idx, axis=0, mode="clip")
+    taps = jnp.take(bank_rev, phase, axis=0)           # (M, T)
+    yi = jnp.sum(wi * taps, axis=-1)
+    yq = jnp.sum(wq * taps, axis=-1)
+    return yi, yq
+
+
+class RationalResampler:
+    """Streaming P/Q resampler over planar IQ chunks.
+
+    ``in_rate``/``out_rate`` are reduced to lowest terms; arbitrary rationals
+    are supported (the polyphase bank has P phases).  Use ``taps_per_phase``
+    and ``atten_db`` to trade filter quality against compute.
+    """
+
+    def __init__(
+        self,
+        in_rate: int,
+        out_rate: int,
+        *,
+        taps_per_phase: int | None = None,
+        atten_db: float = 70.0,
+    ):
+        if in_rate <= 0 or out_rate <= 0:
+            raise ValueError("rates must be positive")
+        g = math.gcd(int(in_rate), int(out_rate))
+        self.P = int(out_rate) // g
+        self.Q = int(in_rate) // g
+        self.in_rate = int(in_rate)
+        self.out_rate = int(out_rate)
+        self.bank = design_polyphase_bank(self.P, self.Q, taps_per_phase, atten_db)
+        self.T = self.bank.shape[1]
+        self._bank_rev = jnp.asarray(self.bank[:, ::-1].copy())
+
+        # streaming state: next output index + T−1 input history samples
+        self.m_next = 0
+        self.in_consumed = 0          # absolute input samples seen
+        self._hist_i = np.zeros(self.T - 1, dtype=np.float32)
+        self._hist_q = np.zeros(self.T - 1, dtype=np.float32)
+
+    # -- plumbing -----------------------------------------------------------
+
+    def out_count_for(self, n_new_inputs: int) -> int:
+        """Outputs produced once ``n_new_inputs`` more samples arrive."""
+        s1 = self.in_consumed + n_new_inputs
+        m_hi = -(-s1 * self.P // self.Q) - 1   # last m with ⌊mQ/P⌋ ≤ s1−1
+        return max(0, m_hi + 1 - self.m_next)
+
+    def max_out_for(self, chunk_capacity: int) -> int:
+        """Static bound on outputs per chunk (for fixed kernel shapes)."""
+        return chunk_capacity * self.P // self.Q + 2
+
+    def process(self, i: np.ndarray, q: np.ndarray, valid: int, M: int):
+        """Resample one chunk.
+
+        ``i, q`` : (N,) planar float32 device or host arrays; entries beyond
+                   ``valid`` are padding and never influence valid outputs.
+        ``M``    : static output capacity (≥ out_count_for(valid)).
+        Returns (yi, yq, n_valid_outputs).
+        """
+        T, P, Q = self.T, self.P, self.Q
+        n_out = self.out_count_for(valid)
+        if int(valid) * P >= (1 << 31) // 2:
+            raise ValueError("chunk too large for 32-bit phase arithmetic")
+
+        xi = jnp.concatenate([jnp.asarray(self._hist_i), jnp.asarray(i)])
+        xq = jnp.concatenate([jnp.asarray(self._hist_q), jnp.asarray(q)])
+
+        m0 = self.m_next
+        rem0 = (m0 * Q) % P
+        n_m0 = (m0 * Q) // P
+        # xi[0] holds absolute input index in_consumed − (T−1)
+        off0 = n_m0 - (T - 1) - (self.in_consumed - (T - 1))
+        yi, yq = _resample_kernel(
+            xi, xq, self._bank_rev,
+            jnp.int32(rem0), jnp.int32(off0),
+            P=P, Q=Q, T=T, M=int(M),
+        )
+
+        # advance streaming state (host integers + history ring)
+        self.m_next = m0 + n_out
+        self.in_consumed += int(valid)
+        if valid:
+            allin_i = np.concatenate([self._hist_i, np.asarray(i[:valid])])
+            allin_q = np.concatenate([self._hist_q, np.asarray(q[:valid])])
+            self._hist_i = allin_i[-(T - 1):].copy() if T > 1 else self._hist_i
+            self._hist_q = allin_q[-(T - 1):].copy() if T > 1 else self._hist_q
+        return yi, yq, n_out
+
+    # -- checkpointing ------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        return {
+            "m_next": self.m_next,
+            "in_consumed": self.in_consumed,
+            "hist_i": self._hist_i.copy(),
+            "hist_q": self._hist_q.copy(),
+        }
+
+    def load_state(self, state: dict) -> None:
+        self.m_next = int(state["m_next"])
+        self.in_consumed = int(state["in_consumed"])
+        self._hist_i = np.asarray(state["hist_i"], dtype=np.float32).copy()
+        self._hist_q = np.asarray(state["hist_q"], dtype=np.float32).copy()
+
+
+def resample_oracle(x: np.ndarray, P: int, Q: int, bank: np.ndarray) -> np.ndarray:
+    """NumPy golden model: y[m] = Σ_l bank[(mQ)%P, l] · x[⌊mQ/P⌋ − l].
+
+    Produces every output whose newest input exists; out-of-range (negative)
+    taps read zeros, matching the streaming implementation's zero history.
+    """
+    x = np.asarray(x)
+    T = bank.shape[1]
+    n_out = (len(x) * P + Q - 1) // Q  # m with floor(mQ/P) <= len(x)-1
+    while n_out > 0 and (n_out - 1) * Q // P > len(x) - 1:
+        n_out -= 1
+    y = np.zeros(n_out, dtype=np.complex128)
+    for m in range(n_out):
+        n = (m * Q) // P
+        p = (m * Q) % P
+        acc = 0.0 + 0.0j
+        for l in range(T):
+            k = n - l
+            if k >= 0:
+                acc += float(bank[p, l]) * complex(x[k])
+        y[m] = acc
+    return y
+
+
+def attach_resampler(pipe, out_rate: int, **kwargs) -> None:
+    """CLI glue: give a Pipeline a post-mix resampler stage."""
+    pipe.set_resampler(
+        RationalResampler(pipe.samplerate, int(out_rate), **kwargs)
+    )

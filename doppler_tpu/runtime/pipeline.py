@@ -73,6 +73,13 @@ def _chunk_kernel(data, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
     return jnp.stack([i, q], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("outtype",))
+def _encode_kernel(i, q, *, outtype: str):
+    if outtype == "i16":
+        return codec.iq_to_i16_words(i, q)
+    return jnp.stack([i, q], axis=-1)
+
+
 class Pipeline:
     """Streaming Doppler corrector.
 
@@ -118,6 +125,11 @@ class Pipeline:
             )
         self.block_samples = self.block_bytes // self._bps_in
         self._sample_offset = 0  # absolute index of next input sample
+        self.resampler = None
+
+    def set_resampler(self, resampler) -> None:
+        """Insert a post-mix resampler stage (see ops.resample)."""
+        self.resampler = resampler
 
     # -- staging ------------------------------------------------------------
 
@@ -167,14 +179,24 @@ class Pipeline:
             arrs = [np.pad(a, (0, pad)) for a in arrs]
 
         staged = self._stage_in(chunk.data, total)
+        mix_outtype = self.outtype if self.resampler is None else "f32"
         out = _chunk_kernel(
             jnp.asarray(staged),
             *(jnp.asarray(a) for a in arrs),
             intype=self.intype,
-            outtype=self.outtype,
+            outtype=mix_outtype,
         )
         self._sample_offset += total
-        return self._stage_out(out, total)
+        if self.resampler is None:
+            return self._stage_out(out, total)
+
+        flat = out.reshape(-1, 2)
+        yi, yq, n_out = self.resampler.process(
+            flat[:, 0], flat[:, 1], total,
+            M=self.resampler.max_out_for(B * self.block_samples),
+        )
+        enc = _encode_kernel(yi, yq, outtype=self.outtype)
+        return self._stage_out(enc, n_out)
 
     def run(self, fin, fout) -> Counters:
         """Pump ``fin`` → ``fout`` until EOF (short read), reference framing."""
