@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Single-chip benchmark: fused decode → NCO mix → polyphase resample → encode.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N/1.024e6}
+
+``vs_baseline`` is the speedup over the reference binary's implied realtime
+requirement — sustaining the documented 1.024 Msps rtl_fm pipeline on one CPU
+core (BASELINE.md; reference README.md:53).  The workload mirrors BASELINE
+config 3: i16 IQ at 1.024 Msps, per-block Doppler schedule, 3/64 polyphase
+decimation to 48 ksps, i16 output.  Runs on the default backend (the real TPU
+chip under the driver; pass --platform cpu to force CPU).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default")
+    ap.add_argument("--mode", choices=["chain", "mix"], default="chain")
+    ap.add_argument("--samples", type=int, default=1 << 24)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from doppler_tpu.ops import codec, nco
+    from doppler_tpu.ops.phase_plan import NCOState, plan_blocks
+    from doppler_tpu.ops.resample import (
+        RationalResampler,
+        make_taps_matrix,
+        resample_conv_block,
+    )
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+
+    fs = 1024000
+    L = 8192
+    B = max(1, args.samples // L)
+    N = B * L
+    rs = RationalResampler(fs, 48000)
+    assert N % rs.Q == 0
+
+    rng = np.random.default_rng(0xBE)
+    words = rng.integers(-(1 << 31), (1 << 31), size=(B, L), dtype=np.int64).astype(
+        np.int32
+    )
+    shifts = [9000.0 - 0.01 * k for k in range(B)]
+    plan = plan_blocks(shifts, [L] * B, fs, NCOState(), L)
+    plan_arrs = [
+        jax.device_put(jnp.asarray(a))
+        for a in (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+                  plan.c2_hi, plan.c2_lo, plan.t)
+    ]
+    data = jax.device_put(jnp.asarray(words))
+    taps_mat = jax.device_put(
+        jnp.asarray(make_taps_matrix(rs.bank, rs.P, rs.Q))
+    )
+    H = rs.T - 1
+
+    if args.mode == "mix":
+
+        @jax.jit
+        def step(data, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t):
+            i, q = codec.i16_words_to_iq(data)
+            i, q = nco.mix_blocks(i, q, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t)
+            return codec.iq_to_i16_words(i, q)
+
+        metric = "nco_mix_i16_samples_per_s_chip"
+    else:
+
+        @jax.jit
+        def step(data, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t):
+            i, q = codec.i16_words_to_iq(data)
+            i, q = nco.mix_blocks(i, q, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t)
+            i = jnp.concatenate([jnp.zeros(H, jnp.float32), i.reshape(-1)])
+            q = jnp.concatenate([jnp.zeros(H, jnp.float32), q.reshape(-1)])
+            yi, yq = resample_conv_block(i, q, taps_mat, P=rs.P, Q=rs.Q, T=rs.T)
+            return codec.iq_to_i16_words(yi, yq)
+
+        metric = "mix_resample_chain_i16_samples_per_s_chip"
+
+    # warmup (compile + first execution)
+    out = step(data, *plan_arrs)
+    out.block_until_ready()
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        out = step(data, *plan_arrs)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rate = N / best
+    print(
+        f"bench {metric}: {N} samples in {best*1e3:.2f} ms "
+        f"(median {np.median(times)*1e3:.2f} ms) over {args.iters} iters",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": metric,
+        "value": rate,
+        "unit": "samples/s",
+        "vs_baseline": rate / 1.024e6,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

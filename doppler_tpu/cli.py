@@ -30,6 +30,12 @@ import time as _time
 __all__ = ["main", "build_parser", "parse_location"]
 
 
+def stream_bps(dtype: str) -> int:
+    from doppler_tpu.runtime.stream import bytes_per_sample
+
+    return bytes_per_sample(dtype)
+
+
 def parse_location(text: str):
     """``lat=58.64560,lon=23.15163,alt=8`` → (lat, lon, alt) floats.
 
@@ -92,6 +98,11 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
                    default="default", help="JAX platform override")
     p.add_argument("--log-level", default="info",
                    choices=["debug", "info", "warning", "error"])
+    p.add_argument("--save-state", metavar="PATH", default=None,
+                   help="write a resumable checkpoint (.npz) at EOF")
+    p.add_argument("--load-state", metavar="PATH", default=None,
+                   help="resume from a checkpoint written by --save-state "
+                        "(feed the stream from the saved byte offset)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -215,7 +226,25 @@ def main(argv=None, stdin=None, stdout=None) -> int:
 
         attach_resampler(pipe, args.resample_to)
 
+    if args.load_state:
+        from doppler_tpu.runtime import checkpoint
+
+        try:
+            meta = checkpoint.restore(args.load_state, pipe)
+        except (ValueError, OSError) as e:
+            log.error("%s", e)
+            return 1
+        log.info("resumed at input sample %d (byte %d)",
+                 meta["sample_offset"],
+                 meta["sample_offset"] * stream_bps(args.intype))
+
     counters = pipe.run(stdin, stdout)
+
+    if args.save_state:
+        from doppler_tpu.runtime import checkpoint
+
+        checkpoint.save(args.save_state, pipe)
+        log.info("checkpoint written to %s", args.save_state)
     log.info(
         "done: %d samples in %.3f s (%.3f Msps)",
         counters.samples, counters.elapsed(), counters.rate() / 1e6,

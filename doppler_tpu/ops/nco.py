@@ -79,15 +79,16 @@ def mix(i, q, d_hi, d_lo, c_hi=0, c_lo=0):
 def mix_blocks(i, q, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t):
     """Per-block planned mixer over ``(..., B, L)`` planar IQ.
 
-    All plan arrays have shape ``(B,)`` (uint32; ``t`` in [0, L] with L
+    Plan arrays have shape ``i.shape[:-1]`` — e.g. ``(B,)`` for a single
+    stream or ``(C, B)`` for a channel batch (uint32; ``t`` in [0, L] with L
     meaning "no segment switch").  Mirrors main.rs:177: each reference block
     is mixed with its own scheduled shift and its own samplenum continuation.
     """
     L = i.shape[-1]
-    offsets = jnp.arange(L, dtype=jnp.uint32)[None, :]
+    offsets = jnp.arange(L, dtype=jnp.uint32)
 
     def col(x):
-        return jnp.asarray(x, jnp.uint32).reshape(-1, 1)
+        return jnp.asarray(x, jnp.uint32)[..., None]
 
     c, s = nco_corrector_blocks(
         col(d_hi), col(d_lo), col(c1_hi), col(c1_lo),

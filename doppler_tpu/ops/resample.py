@@ -181,6 +181,61 @@ def resample_oracle(x: np.ndarray, P: int, Q: int, bank: np.ndarray) -> np.ndarr
     return y
 
 
+def make_taps_matrix(bank: np.ndarray, P: int, Q: int) -> np.ndarray:
+    """Host: fold the polyphase bank into the windows-matmul taps matrix.
+
+    ``taps_mat[j, p] = bank_rev[(pQ) mod P, j − ⌊pQ/P⌋]`` (zero outside the
+    tap range): output m = i·P + p is then ``Σ_j x[iQ + j] · taps_mat[j, p]``
+    over the strided window row — one MXU matmul for all phases at once.
+    """
+    T = bank.shape[1]
+    bank_rev = bank[:, ::-1]
+    w_len = (Q - 1) + T
+    taps = np.zeros((w_len, P), dtype=np.float32)
+    for p in range(P):
+        fp = (p * Q) // P
+        taps[fp : fp + T, p] = bank_rev[(p * Q) % P]
+    return taps
+
+
+@partial(jax.jit, static_argnames=("P", "Q", "T"))
+def resample_conv_block(xi, xq, taps_mat, *, P: int, Q: int, T: int):
+    """Windows + matmul resampler — the TPU fast path (MXU).
+
+    Mathematically identical to the gather kernel for window alignment 0:
+    ``xi/xq`` are ``(..., H + N)`` with ``H = T−1`` history samples
+    prepended and ``N`` a multiple of Q; produces the ``N·P/Q`` outputs with
+    absolute output index 0 at logical input 0.
+
+    Output m = i·P + p needs inputs ``x_phys[iQ + j]`` for j < Q−1+T — rows
+    of a stride-Q unfold of the input.  The unfold is R+1 shifted reshapes
+    (regular memory, no gather, no strided conv lowering), and all P phases
+    reduce in a single ``(K, W_len) @ (W_len, P)`` matmul on the MXU.
+    """
+    H = T - 1
+    N = xi.shape[-1] - H
+    if N % Q:
+        raise ValueError(f"fast path needs N % Q == 0 (N={N}, Q={Q})")
+    K = N // Q
+    w_len = (Q - 1) + T
+    R = -(-w_len // Q)          # extra rows needed beyond each window's own
+
+    lead = xi.shape[:-1]
+    x2 = jnp.stack([xi, xq], axis=-2).reshape(-1, xi.shape[-1])  # (B*·2, H+N)
+    pad = (K + R) * Q - x2.shape[-1]
+    x2 = jnp.pad(x2, ((0, 0), (0, max(0, pad))))
+    G = x2[:, : (K + R) * Q].reshape(-1, K + R, Q)
+    W = jnp.concatenate([G[:, r : r + K, :] for r in range(R + 1)], axis=-1)
+    W = W[..., :w_len]                                            # (B*·2, K, w_len)
+    y = jnp.einsum(
+        "bkw,wp->bkp", W, taps_mat,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                                             # (B*·2, K, P)
+    y = y.reshape(*lead, 2, K * P)
+    return y[..., 0, :], y[..., 1, :]
+
+
 def attach_resampler(pipe, out_rate: int, **kwargs) -> None:
     """CLI glue: give a Pipeline a post-mix resampler stage."""
     pipe.set_resampler(

@@ -1,0 +1,99 @@
+"""Checkpoint / resume — "resume = seek" made concrete.
+
+The reference has no checkpointing (SURVEY §5): its entire mutable state is
+three integers.  This framework makes that state explicit and serializable:
+
+- the NCO counter + absolute stream offset (``ops.phase_plan.NCOState``),
+- the scheduler's staircase state (track mode: sample_count/dt/last_time),
+- the resampler's next-output index and T−1-sample FIR history,
+- stream byte offsets for seeking the input.
+
+``save``/``restore`` round-trip a running :class:`~doppler_tpu.runtime.
+pipeline.Pipeline`; restarting at block k of a recorded stream reproduces the
+uninterrupted output bitwise (tests/test_checkpoint.py).  The format is a
+single ``.npz`` — trivially portable across hosts for elastic recovery.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from doppler_tpu.ops.phase_plan import NCOState
+
+__all__ = ["save", "restore"]
+
+_VERSION = 1
+
+
+def _scheduler_state(s) -> dict:
+    out = {}
+    for key in ("sample_count", "dt", "last_time"):
+        if hasattr(s, key):
+            out[key] = getattr(s, key)
+    return out
+
+
+def _load_scheduler_state(s, state: dict) -> None:
+    for key, val in state.items():
+        if hasattr(s, key):
+            setattr(s, key, type(getattr(s, key))(val))
+
+
+def save(path: str, pipe) -> None:
+    """Snapshot a Pipeline's resumable state to ``path`` (.npz)."""
+    meta = {
+        "version": _VERSION,
+        "samplerate": pipe.samplerate,
+        "intype": pipe.intype,
+        "outtype": pipe.outtype,
+        "block_bytes": pipe.block_bytes,
+        "nco_samplenum": pipe.nco_state.samplenum,
+        "nco_abs_offset": pipe.nco_state.abs_offset,
+        "sample_offset": pipe._sample_offset,
+        "scheduler": _scheduler_state(pipe.scheduler),
+        "has_resampler": pipe.resampler is not None,
+    }
+    arrays = {"meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)}
+    if pipe.resampler is not None:
+        rstate = pipe.resampler.state_dict()
+        arrays["rs_m_next"] = np.asarray(rstate["m_next"], dtype=np.int64)
+        arrays["rs_in_consumed"] = np.asarray(rstate["in_consumed"], dtype=np.int64)
+        arrays["rs_hist_i"] = rstate["hist_i"]
+        arrays["rs_hist_q"] = rstate["hist_q"]
+    np.savez(path, **arrays)
+
+
+def restore(path: str, pipe) -> dict:
+    """Load a snapshot into a compatibly-configured Pipeline.
+
+    Returns the metadata dict (including ``sample_offset`` — the absolute
+    input sample at which the caller should resume feeding the stream).
+    """
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"].tobytes()).decode())
+        if meta["version"] != _VERSION:
+            raise ValueError(f"unsupported checkpoint version {meta['version']}")
+        for key in ("samplerate", "intype", "outtype", "block_bytes"):
+            if meta[key] != getattr(pipe, key):
+                raise ValueError(
+                    f"checkpoint {key}={meta[key]!r} does not match "
+                    f"pipeline {getattr(pipe, key)!r}"
+                )
+        pipe.nco_state = NCOState(
+            samplenum=int(meta["nco_samplenum"]),
+            abs_offset=int(meta["nco_abs_offset"]),
+        )
+        pipe._sample_offset = int(meta["sample_offset"])
+        _load_scheduler_state(pipe.scheduler, meta["scheduler"])
+        if meta["has_resampler"]:
+            if pipe.resampler is None:
+                raise ValueError("checkpoint has resampler state but pipeline has none")
+            pipe.resampler.load_state({
+                "m_next": int(z["rs_m_next"]),
+                "in_consumed": int(z["rs_in_consumed"]),
+                "hist_i": z["rs_hist_i"],
+                "hist_q": z["rs_hist_q"],
+            })
+    return meta

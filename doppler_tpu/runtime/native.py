@@ -1,0 +1,136 @@
+"""ctypes loader for the native host library (``native/``).
+
+Provides zero-copy NumPy wrappers over the C++ codecs and the fast
+bit-faithful reference NCO.  Falls back to pure NumPy when the library isn't
+built — everything works without it; it's a host-throughput acceleration
+(SURVEY §7 "host I/O becoming the bottleneck").
+
+Build with ``make -C native``; auto-built on first import when a compiler is
+available (best-effort, silent on failure).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+__all__ = [
+    "available",
+    "i16_to_planar",
+    "planar_to_i16",
+    "reference_mix",
+]
+
+_REPO = Path(__file__).resolve().parent.parent.parent
+_LIB_PATH = _REPO / "native" / "build" / "libdoppler_native.so"
+_lib = None
+
+
+def _try_build() -> None:
+    try:
+        subprocess.run(
+            ["make", "-C", str(_REPO / "native")],
+            capture_output=True, timeout=120, check=True,
+        )
+    except Exception:
+        pass
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and os.environ.get("DOPPLER_TPU_NO_NATIVE_BUILD") != "1":
+        _try_build()
+    if _LIB_PATH.exists():
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.dt_i16_to_planar_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p]
+            lib.dt_planar_f32_to_i16.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
+            lib.dt_reference_mix.restype = ctypes.c_uint32
+            lib.dt_reference_mix.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_uint32, ctypes.c_float, ctypes.c_uint32,
+                ctypes.c_void_p, ctypes.c_void_p]
+            _lib = lib
+        except OSError:
+            _lib = False
+    else:
+        _lib = False
+    return _lib
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def i16_to_planar(buf: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LE interleaved i16 bytes → planar (i, q) float32."""
+    raw = np.frombuffer(buf, dtype="<i2") if isinstance(buf, (bytes, bytearray, memoryview)) else np.ascontiguousarray(buf, dtype="<i2")
+    n = raw.size // 2
+    raw = raw[: 2 * n]
+    lib = _load()
+    if lib:
+        i = np.empty(n, dtype=np.float32)
+        q = np.empty(n, dtype=np.float32)
+        lib.dt_i16_to_planar_f32(
+            raw.ctypes.data, n, i.ctypes.data, q.ctypes.data
+        )
+        return i, q
+    x = raw.astype(np.float32) * np.float32(1.0 / 32768.0)
+    return np.ascontiguousarray(x[0::2]), np.ascontiguousarray(x[1::2])
+
+
+def planar_to_i16(i: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Planar float32 → interleaved LE i16 with reference cast semantics."""
+    i = np.ascontiguousarray(i, dtype=np.float32)
+    q = np.ascontiguousarray(q, dtype=np.float32)
+    n = i.size
+    lib = _load()
+    out = np.empty(2 * n, dtype="<i2")
+    if lib:
+        lib.dt_planar_f32_to_i16(i.ctypes.data, q.ctypes.data, n, out.ctypes.data)
+        return out
+
+    def sat(v):
+        v = np.trunc(v * np.float32(32767.0))
+        v = np.where(np.isnan(v), np.float32(0.0), v)
+        return np.clip(v, -32768.0, 32767.0).astype(np.int16)
+
+    out[0::2] = sat(i)
+    out[1::2] = sat(q)
+    return out
+
+
+def reference_mix(
+    i: np.ndarray, q: np.ndarray, samplenum: int, shift_hz: float, samplerate: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Fast bit-faithful reference NCO (the dsp.rs:117-134 loop in C++).
+
+    Falls back to the slow NumPy oracle when the library isn't available.
+    """
+    lib = _load()
+    i = np.ascontiguousarray(i, dtype=np.float32)
+    q = np.ascontiguousarray(q, dtype=np.float32)
+    n = i.size
+    if lib:
+        oi = np.empty(n, dtype=np.float32)
+        oq = np.empty(n, dtype=np.float32)
+        sn = lib.dt_reference_mix(
+            i.ctypes.data, q.ctypes.data, n,
+            ctypes.c_uint32(samplenum), ctypes.c_float(shift_hz),
+            ctypes.c_uint32(samplerate), oi.ctypes.data, oq.ctypes.data,
+        )
+        return oi, oq, int(sn)
+    from doppler_tpu import oracle
+
+    mixed, sn = oracle.shift_frequency_oracle(
+        (i + 1j * q).astype(np.complex64), samplenum, shift_hz, samplerate
+    )
+    return mixed.real.copy(), mixed.imag.copy(), sn

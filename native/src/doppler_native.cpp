@@ -1,0 +1,120 @@
+// doppler_tpu native host library.
+//
+// TPU-native replacements for the reference's native layer (SURVEY §2 #6-7:
+// src/complex.c + build.rs). The per-sample cexpf FFI of the reference became
+// on-device VPU math; what remains on the host is byte-stream staging — and at
+// multi-GS/s host rates the Python/NumPy staging path becomes the bottleneck,
+// so the codecs live here as tight auto-vectorizable loops.
+//
+// Also included: a bit-faithful sequential reference NCO (the Rust
+// dsp.rs:117-134 loop, f32 arithmetic + samplenum reset quirk) used as a fast
+// golden model for long-stream verification — the NumPy scalar oracle is
+// O(1 µs/sample), this is O(1 ns/sample).
+//
+// Build: `make -C native` → libdoppler_native.so, loaded via ctypes
+// (doppler_tpu/runtime/native.py) with a pure-NumPy fallback.
+
+#include <cmath>
+#include <cstddef>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Interleaved little-endian i16 IQ → planar f32, scale 1/32768 (dsp.rs:85-99).
+void dt_i16_to_planar_f32(const int16_t* in, size_t n_pairs,
+                          float* i_out, float* q_out) {
+    const float k = 1.0f / 32768.0f;
+    for (size_t n = 0; n < n_pairs; ++n) {
+        i_out[n] = (float)in[2 * n] * k;
+        q_out[n] = (float)in[2 * n + 1] * k;
+    }
+}
+
+// Interleaved f32 IQ → planar f32 (dsp.rs:101-115).
+void dt_f32_to_planar_f32(const float* in, size_t n_pairs,
+                          float* i_out, float* q_out) {
+    for (size_t n = 0; n < n_pairs; ++n) {
+        i_out[n] = in[2 * n];
+        q_out[n] = in[2 * n + 1];
+    }
+}
+
+static inline int16_t sat_trunc_i16(float v) {
+    // Rust `as i16` on f32: truncate toward zero, saturate, NaN → 0
+    // (main.rs:77-78).
+    if (std::isnan(v)) return 0;
+    v = std::truncf(v);
+    if (v <= -32768.0f) return -32768;
+    if (v >= 32767.0f) return 32767;
+    return (int16_t)v;
+}
+
+// Planar f32 → interleaved i16, ×32767 then saturating trunc (main.rs:76-84).
+void dt_planar_f32_to_i16(const float* i_in, const float* q_in,
+                          size_t n_pairs, int16_t* out) {
+    for (size_t n = 0; n < n_pairs; ++n) {
+        out[2 * n] = sat_trunc_i16(i_in[n] * 32767.0f);
+        out[2 * n + 1] = sat_trunc_i16(q_in[n] * 32767.0f);
+    }
+}
+
+// Planar f32 → interleaved f32 (main.rs:89-93).
+void dt_planar_f32_to_f32(const float* i_in, const float* q_in,
+                          size_t n_pairs, float* out) {
+    for (size_t n = 0; n < n_pairs; ++n) {
+        out[2 * n] = i_in[n];
+        out[2 * n + 1] = q_in[n];
+    }
+}
+
+// Bit-faithful sequential reference NCO: the dsp.rs:117-134 loop.
+// All arithmetic in f32; phase via cexpf-equivalent cosf/sinf on the f32
+// product; samplenum resets to 1 when fract((shift/fs)·n) == 0.
+// Returns the final samplenum.
+uint32_t dt_reference_mix(const float* i_in, const float* q_in, size_t n,
+                          uint32_t samplenum, float shift_hz, uint32_t samplerate,
+                          float* i_out, float* q_out) {
+    const float ratio = shift_hz / (float)samplerate;
+    const float neg_two_pi = -2.0f * 3.14159265358979323846f;
+    uint32_t sn = samplenum;
+    for (size_t k = 0; k < n; ++k) {
+        float prod = ratio * (float)sn;
+        float phase = neg_two_pi * prod;
+        float c = cosf(phase);
+        float s = sinf(phase);
+        i_out[k] = i_in[k] * c - q_in[k] * s;
+        q_out[k] = i_in[k] * s + q_in[k] * c;
+        float frac = prod - truncf(prod);
+        sn = (frac == 0.0f) ? 1u : sn + 1u;
+    }
+    return sn;
+}
+
+// Streaming helpers: read exactly `want` bytes from fd (loop over short
+// reads, mirroring the reference's byte-iterator semantics, main.rs:63) and
+// write fully. Used by the high-rate host IO path.
+#include <unistd.h>
+
+int64_t dt_read_full(int fd, void* buf, size_t want) {
+    size_t got = 0;
+    while (got < want) {
+        ssize_t r = read(fd, (char*)buf + got, want - got);
+        if (r < 0) return -1;
+        if (r == 0) break;
+        got += (size_t)r;
+    }
+    return (int64_t)got;
+}
+
+int64_t dt_write_full(int fd, const void* buf, size_t len) {
+    size_t put = 0;
+    while (put < len) {
+        ssize_t w = write(fd, (const char*)buf + put, len - put);
+        if (w < 0) return -1;
+        put += (size_t)w;
+    }
+    return (int64_t)put;
+}
+
+}  // extern "C"

@@ -143,3 +143,25 @@ def test_pipeline_with_resampler_end_to_end():
     freqs = np.fft.fftfreq(len(y), 1.0 / fs_out)
     # +20 kHz tone shifted down by 15 kHz → 5 kHz at the output rate
     assert abs(freqs[int(np.argmax(spec))] - 5000.0) < 30.0
+
+
+def test_fast_path_matches_oracle():
+    """Windows+matmul fast path (TPU MXU formulation) vs the NumPy oracle."""
+    import jax.numpy as jnp
+
+    from doppler_tpu.ops.resample import make_taps_matrix, resample_conv_block
+
+    rs = RationalResampler(1024000, 48000)
+    H = rs.T - 1
+    N = 64 * 64
+    x = (RNG.normal(size=N) + 1j * RNG.normal(size=N)).astype(np.complex64)
+    xi = np.concatenate([np.zeros(H, np.float32), x.real.astype(np.float32)])
+    xq = np.concatenate([np.zeros(H, np.float32), x.imag.astype(np.float32)])
+    taps = jnp.asarray(make_taps_matrix(rs.bank, rs.P, rs.Q))
+    yi, yq = resample_conv_block(
+        jnp.asarray(xi), jnp.asarray(xq), taps, P=rs.P, Q=rs.Q, T=rs.T
+    )
+    got = np.asarray(yi) + 1j * np.asarray(yq)
+    want = resample_oracle(x, rs.P, rs.Q, rs.bank)
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 1e-6
