@@ -23,7 +23,7 @@ import numpy as np
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", choices=["default", "cpu"], default="default")
-    ap.add_argument("--mode", choices=["chain", "mix"], default="chain")
+    ap.add_argument("--mode", choices=["chain", "mix", "mix-pallas"], default="chain")
     ap.add_argument("--samples", type=int, default=1 << 24)
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
@@ -78,6 +78,10 @@ def main() -> int:
             return codec.iq_to_i16_words(i, q)
 
         metric = "nco_mix_i16_samples_per_s_chip"
+    elif args.mode == "mix-pallas":
+        from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas as step
+
+        metric = "nco_mix_pallas_i16_samples_per_s_chip"
     else:
 
         @jax.jit

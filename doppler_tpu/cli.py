@@ -94,6 +94,9 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--exact-ratio", action="store_true",
                    help="use exact rational NCO rate instead of mirroring the "
                         "reference's f32-rounded shift/samplerate ratio")
+    p.add_argument("--impl", choices=["xla", "pallas"], default="xla",
+                   help="mixer kernel implementation (pallas: fused TPU "
+                        "kernel; i16-to-i16 without resampling)")
     p.add_argument("--platform", choices=["cpu", "tpu", "default"],
                    default="default", help="JAX platform override")
     p.add_argument("--log-level", default="info",
@@ -220,6 +223,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         block_bytes=args.block_bytes,
         chunk_blocks=args.chunk_blocks,
         quantize_ratio_f32=not args.exact_ratio,
+        impl=args.impl,
     )
     if args.resample_to is not None:
         from doppler_tpu.ops.resample import attach_resampler

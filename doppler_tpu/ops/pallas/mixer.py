@@ -1,0 +1,133 @@
+"""Fused Pallas mixer: i16-decode → NCO mix → i16-encode in one VMEM pass.
+
+The Pallas realization of the framework's hot kernel (SURVEY §7 step 7),
+replacing the reference's per-sample ``ccexpf`` C FFI (``src/complex.c``)
+with on-chip VPU transcendentals.  One grid step processes one reference
+block: the raw int32 IQ words stream HBM→VMEM (Pallas double-buffers grid
+steps automatically), the per-block plan words (rate D, offsets C1/C2,
+segment switch t — see ``ops.phase_plan``) ride scalar prefetch in SMEM, and
+only the re-encoded words return to HBM — 8 bytes of HBM traffic per sample,
+the speed-of-light minimum for an i16→i16 shift.
+
+The XLA path (``ops.nco.mix_blocks``) computes the identical math; this
+kernel exists to pin the fusion explicitly rather than trusting the fuser,
+and as the substrate for deeper fusion (resampler windows in VMEM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["mix_blocks_pallas"]
+
+_MASK16 = np.uint32(0xFFFF)
+
+
+def _umulhi32(a, b):
+    """High 32 bits of a 32×32 product on uint32 lanes (16-bit partials)."""
+    a_lo = a & _MASK16
+    a_hi = a >> 16
+    b_lo = b & _MASK16
+    b_hi = b >> 16
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+    mid = (ll >> 16) + (lh & _MASK16) + (hl & _MASK16)
+    return hh + (lh >> 16) + (hl >> 16) + (mid >> 16)
+
+
+def _mixer_kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r, t_r,
+                  words_ref, out_ref):
+    b = pl.program_id(0)
+    shape = words_ref.shape          # (1, L // 128, 128) — TPU-tiled view
+
+    # ---- decode: one int32 word = one LE i16 IQ pair (dsp.rs:85-99)
+    w = words_ref[...]
+    i = jnp.left_shift(w, 16) >> 16
+    q = w >> 16
+    scale = jnp.float32(1.0 / 32768.0)
+    fi = i.astype(jnp.float32) * scale
+    fq = q.astype(jnp.float32) * scale
+
+    # ---- exact Q0.64 phase: (j·D + C) mod 2^64, top 32 bits
+    j = (
+        jax.lax.broadcasted_iota(jnp.uint32, shape, 1) * jnp.uint32(128)
+        + jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    )
+    d_hi = d_hi_r[b]
+    d_lo = d_lo_r[b]
+    jd_lo = j * d_lo
+    jd_hi = _umulhi32(j, d_lo) + j * d_hi
+
+    def with_offset(c_hi, c_lo):
+        lo = jd_lo + c_lo
+        carry = (lo < jd_lo).astype(jnp.uint32)
+        return jd_hi + c_hi + carry
+
+    q32_a = with_offset(c1_hi_r[b], c1_lo_r[b])
+    q32_b = with_offset(c2_hi_r[b], c2_lo_r[b])
+    q32 = jnp.where(j < t_r[b], q32_a, q32_b)
+
+    # Mosaic has no uint32→f32 cast; keep the top 24 bits via int32 — f32
+    # would only retain 24 bits of the Q0.32 phase anyway.
+    q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
+    cycles = q24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+    theta = jnp.float32(-2.0 * np.pi) * cycles
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+
+    oi = fi * c - fq * s
+    oq = fi * s + fq * c
+
+    # ---- encode: ×32767, truncate toward zero, saturate, NaN→0 (main.rs:76-84)
+    def enc(v):
+        v = jnp.trunc(v * jnp.float32(32767.0))
+        v = jnp.where(jnp.isnan(v), jnp.float32(0.0), v)
+        v = jnp.clip(v, jnp.float32(-32768.0), jnp.float32(32767.0))
+        return v.astype(jnp.int32)
+
+    out_ref[...] = (enc(oi) & jnp.int32(0xFFFF)) | jnp.left_shift(enc(oq), 16)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mix_blocks_pallas(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
+                      *, interpret: bool = False):
+    """i16 words ``(B, L)`` + per-block plan ``(B,)`` → mixed i16 words.
+
+    Semantically identical to decode → ``nco.mix_blocks`` → encode.
+    ``interpret=True`` runs the Pallas interpreter (CPU tests).
+    """
+    B, L = words.shape
+    if L % 128:
+        raise ValueError(f"block length {L} must be a multiple of 128")
+    S = L // 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, 128), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, 128), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _mixer_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, 128), jnp.int32),
+        interpret=interpret,
+    )(
+        jnp.asarray(d_hi, jnp.uint32), jnp.asarray(d_lo, jnp.uint32),
+        jnp.asarray(c1_hi, jnp.uint32), jnp.asarray(c1_lo, jnp.uint32),
+        jnp.asarray(c2_hi, jnp.uint32), jnp.asarray(c2_lo, jnp.uint32),
+        jnp.asarray(t, jnp.uint32), words.reshape(B, S, 128),
+    )
+    return out.reshape(B, L)

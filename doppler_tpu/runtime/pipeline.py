@@ -102,6 +102,7 @@ class Pipeline:
         quantize_ratio_f32: bool = True,
         reset_quirk: bool = True,
         flush_every_chunk: bool = True,
+        impl: str = "xla",
     ):
         if samplerate <= 0:
             raise ValueError("samplerate must be positive")
@@ -114,6 +115,9 @@ class Pipeline:
         self.quantize_ratio_f32 = quantize_ratio_f32
         self.reset_quirk = reset_quirk
         self.flush_every_chunk = flush_every_chunk
+        if impl not in ("xla", "pallas"):
+            raise ValueError(f"impl must be 'xla' or 'pallas', got {impl!r}")
+        self.impl = impl
         self.nco_state = NCOState()   # the stream's entire resumable DSP state
 
         self._bps_in = streaming.bytes_per_sample(intype)
@@ -180,12 +184,25 @@ class Pipeline:
 
         staged = self._stage_in(chunk.data, total)
         mix_outtype = self.outtype if self.resampler is None else "f32"
-        out = _chunk_kernel(
-            jnp.asarray(staged),
-            *(jnp.asarray(a) for a in arrs),
-            intype=self.intype,
-            outtype=mix_outtype,
+        use_pallas = (
+            self.impl == "pallas"
+            and self.intype == "i16"
+            and mix_outtype == "i16"
+            and self.block_samples % 128 == 0
         )
+        if use_pallas:
+            from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas
+
+            out = mix_blocks_pallas(
+                jnp.asarray(staged), *(jnp.asarray(a) for a in arrs)
+            )
+        else:
+            out = _chunk_kernel(
+                jnp.asarray(staged),
+                *(jnp.asarray(a) for a in arrs),
+                intype=self.intype,
+                outtype=mix_outtype,
+            )
         self._sample_offset += total
         if self.resampler is None:
             return self._stage_out(out, total)

@@ -1,0 +1,48 @@
+"""Pallas fused mixer (interpret mode) vs the XLA path: ≤1 LSB agreement."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from doppler_tpu.ops import codec, nco
+from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas
+from doppler_tpu.ops.phase_plan import NCOState, plan_blocks
+
+RNG = np.random.default_rng(0x9A)
+
+
+def test_pallas_mixer_matches_xla_path():
+    B, L, fs = 4, 2048, 256000
+    words = RNG.integers(-(1 << 31), 1 << 31, size=(B, L), dtype=np.int64).astype(
+        np.int32
+    )
+    plan = plan_blocks(
+        [9660.609375, -15000.0, 0.0, 7777.5], [L] * B, fs, NCOState(), L
+    )
+    arrs = (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t)
+
+    i, q = codec.i16_words_to_iq(jnp.asarray(words))
+    i, q = nco.mix_blocks(i, q, *arrs)
+    want = np.asarray(codec.iq_to_i16_words(i, q))
+
+    got = np.asarray(mix_blocks_pallas(jnp.asarray(words), *arrs, interpret=True))
+    gi, gq = codec.i16_words_to_iq(jnp.asarray(got))
+    wi, wq = codec.i16_words_to_iq(jnp.asarray(want))
+    diff = np.maximum(
+        np.abs(np.asarray(gi) - np.asarray(wi)),
+        np.abs(np.asarray(gq) - np.asarray(wq)),
+    ) * 32768.0
+    assert diff.max() <= 1.0 + 1e-3
+    assert np.mean(got == want) > 0.99
+
+
+def test_pallas_mixer_rejects_unaligned_block():
+    import pytest
+
+    words = np.zeros((2, 100), dtype=np.int32)
+    plan = plan_blocks([0.0, 0.0], [100, 100], 256000, NCOState(), 100)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        mix_blocks_pallas(
+            jnp.asarray(words), plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t, interpret=True,
+        )
