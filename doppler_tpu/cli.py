@@ -137,6 +137,16 @@ def build_parser() -> argparse.ArgumentParser:
                        help="Satellite transmitter frequency in Hz")
     track.add_argument("--offset", type=float, default=0.0,
                        help="Constant frequency shift in Hz added on top")
+
+    chans = sub.add_parser(
+        "channels",
+        help="Multi-satellite batch: N channels from one wideband capture",
+    )
+    _add_io_args(chans)
+    chans.add_argument("--config", required=True,
+                       help="JSON channel config (see docs/channels.md)")
+    chans.add_argument("--output-dir", default=".",
+                       help="directory for per-channel <name>.iq outputs")
     return ap
 
 
@@ -168,6 +178,47 @@ def main(argv=None, stdin=None, stdout=None) -> int:
     stdout = stdout if stdout is not None else sys.stdout.buffer
 
     from doppler_tpu.runtime.pipeline import ConstScheduler, Pipeline
+
+    if args.mode == "channels":
+        import os
+
+        from doppler_tpu.runtime.channels import (
+            MultiChannelPipeline,
+            load_channel_config,
+        )
+
+        try:
+            specs, cfg = load_channel_config(args.config, args.samplerate)
+        except (OSError, KeyError, ValueError) as e:
+            log.error("bad channel config: %s", e)
+            return 1
+        log.info("multi-channel mode: %d channels", len(specs))
+        for s in specs:
+            log.info("\tchannel %-16s center offset %+.0f Hz",
+                     s.name, s.center_offset_hz)
+        mpipe = MultiChannelPipeline(
+            args.samplerate, args.intype, outtype, specs,
+            out_rate=args.resample_to,
+            block_bytes=args.block_bytes,
+            chunk_blocks=args.chunk_blocks,
+            quantize_ratio_f32=not args.exact_ratio,
+        )
+        os.makedirs(args.output_dir, exist_ok=True)
+        writers = [
+            open(os.path.join(args.output_dir, f"{s.name}.iq"), "wb")
+            for s in specs
+        ]
+        try:
+            counters = mpipe.run(stdin, writers)
+        finally:
+            for w in writers:
+                w.close()
+        log.info(
+            "done: %d wideband samples × %d channels in %.3f s (%.3f Msps in)",
+            counters.samples, len(specs), counters.elapsed(),
+            counters.rate() / 1e6,
+        )
+        return 0
 
     if args.mode == "const":
         log.info("constant shift mode")

@@ -50,8 +50,8 @@ def _resample_kernel(xi, xq, bank_rev, rem0, off0, *, P, Q, T, M):
     phase = u % jnp.int32(P)
     base = off0.astype(jnp.int32) + local_n            # window start, (M,)
     idx = base[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-    wi = jnp.take(xi, idx, axis=0, mode="clip")
-    wq = jnp.take(xq, idx, axis=0, mode="clip")
+    wi = jnp.take(xi, idx, axis=-1, mode="clip")       # (..., M, T)
+    wq = jnp.take(xq, idx, axis=-1, mode="clip")
     taps = jnp.take(bank_rev, phase, axis=0)           # (M, T)
     yi = jnp.sum(wi * taps, axis=-1)
     yq = jnp.sum(wq * taps, axis=-1)
@@ -73,6 +73,7 @@ class RationalResampler:
         *,
         taps_per_phase: int | None = None,
         atten_db: float = 70.0,
+        channels: int | None = None,
     ):
         if in_rate <= 0 or out_rate <= 0:
             raise ValueError("rates must be positive")
@@ -84,12 +85,16 @@ class RationalResampler:
         self.bank = design_polyphase_bank(self.P, self.Q, taps_per_phase, atten_db)
         self.T = self.bank.shape[1]
         self._bank_rev = jnp.asarray(self.bank[:, ::-1].copy())
+        self.channels = channels      # None = single stream; int C = batch
 
         # streaming state: next output index + T−1 input history samples
+        # (m_next is shared across channels: the output grid depends only on
+        # input counts, which are identical for every channel of a capture)
         self.m_next = 0
         self.in_consumed = 0          # absolute input samples seen
-        self._hist_i = np.zeros(self.T - 1, dtype=np.float32)
-        self._hist_q = np.zeros(self.T - 1, dtype=np.float32)
+        hist_shape = (self.T - 1,) if channels is None else (channels, self.T - 1)
+        self._hist_i = np.zeros(hist_shape, dtype=np.float32)
+        self._hist_q = np.zeros(hist_shape, dtype=np.float32)
 
     # -- plumbing -----------------------------------------------------------
 
@@ -106,8 +111,9 @@ class RationalResampler:
     def process(self, i: np.ndarray, q: np.ndarray, valid: int, M: int):
         """Resample one chunk.
 
-        ``i, q`` : (N,) planar float32 device or host arrays; entries beyond
-                   ``valid`` are padding and never influence valid outputs.
+        ``i, q`` : ``(N,)`` — or ``(C, N)`` with ``channels=C`` — planar
+                   float32 arrays; entries beyond ``valid`` are padding and
+                   never influence valid outputs.
         ``M``    : static output capacity (≥ out_count_for(valid)).
         Returns (yi, yq, n_valid_outputs).
         """
@@ -116,8 +122,8 @@ class RationalResampler:
         if int(valid) * P >= (1 << 31) // 2:
             raise ValueError("chunk too large for 32-bit phase arithmetic")
 
-        xi = jnp.concatenate([jnp.asarray(self._hist_i), jnp.asarray(i)])
-        xq = jnp.concatenate([jnp.asarray(self._hist_q), jnp.asarray(q)])
+        xi = jnp.concatenate([jnp.asarray(self._hist_i), jnp.asarray(i)], axis=-1)
+        xq = jnp.concatenate([jnp.asarray(self._hist_q), jnp.asarray(q)], axis=-1)
 
         m0 = self.m_next
         rem0 = (m0 * Q) % P
@@ -133,11 +139,15 @@ class RationalResampler:
         # advance streaming state (host integers + history ring)
         self.m_next = m0 + n_out
         self.in_consumed += int(valid)
-        if valid:
-            allin_i = np.concatenate([self._hist_i, np.asarray(i[:valid])])
-            allin_q = np.concatenate([self._hist_q, np.asarray(q[:valid])])
-            self._hist_i = allin_i[-(T - 1):].copy() if T > 1 else self._hist_i
-            self._hist_q = allin_q[-(T - 1):].copy() if T > 1 else self._hist_q
+        if valid and T > 1:
+            allin_i = np.concatenate(
+                [self._hist_i, np.asarray(i[..., :valid])], axis=-1
+            )
+            allin_q = np.concatenate(
+                [self._hist_q, np.asarray(q[..., :valid])], axis=-1
+            )
+            self._hist_i = allin_i[..., -(T - 1):].copy()
+            self._hist_q = allin_q[..., -(T - 1):].copy()
         return yi, yq, n_out
 
     # -- checkpointing ------------------------------------------------------

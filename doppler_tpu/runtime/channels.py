@@ -1,0 +1,239 @@
+"""Multi-channel pipeline: N satellites from one wideband capture.
+
+BASELINE configs 4-5: a single wideband IQ stream carries many satellite
+downlinks; each channel c gets its own correction chain
+
+    mix by (center_offset_c + doppler_c(t) + offset_c)  →  resample  →  encode
+
+run as ONE batched device computation over a ``(C, B, L)`` array — the
+channel axis is embarrassingly parallel (SURVEY §2 "channel parallelism")
+and is exactly the axis the ``parallel`` package shards over a mesh for
+pod-scale runs.
+
+Host-side per channel: an independent Doppler scheduler (const or TLE track)
+and an independent samplenum-emulation state; the channel's center offset is
+folded into the per-block shift before planning, which mirrors what running
+C separate reference binaries with ``--offset (offset + center)`` would do.
+
+Outputs go to per-channel files (stdout can't interleave C streams).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from doppler_tpu.ops import codec, nco
+from doppler_tpu.ops.phase_plan import NCOState, plan_blocks
+from doppler_tpu.ops.resample import RationalResampler
+from doppler_tpu.runtime import stream as streaming
+from doppler_tpu.runtime.pipeline import ConstScheduler, Scheduler
+from doppler_tpu.runtime.telemetry import Counters, get_logger
+
+__all__ = ["ChannelSpec", "MultiChannelPipeline", "load_channel_config"]
+
+log = get_logger("channels")
+
+
+@dataclass
+class ChannelSpec:
+    """One channel of a wideband capture."""
+
+    name: str
+    scheduler: Scheduler
+    center_offset_hz: float = 0.0
+    state: NCOState = field(default_factory=NCOState)
+
+
+@functools.partial(jax.jit, static_argnames=("intype", "outtype", "C"))
+def _channels_mix_kernel(data, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
+                         *, intype: str, outtype: str, C: int):
+    """Wideband chunk (B, L) × per-channel plans (C, B) → (C, …) streams."""
+    if intype == "i16":
+        i, q = codec.i16_words_to_iq(data)
+    else:
+        i, q = data[..., 0], data[..., 1]
+    i = jnp.broadcast_to(i[None], (C,) + i.shape)
+    q = jnp.broadcast_to(q[None], (C,) + q.shape)
+    i, q = nco.mix_blocks(i, q, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t)
+    if outtype == "i16":
+        return codec.iq_to_i16_words(i, q)
+    return jnp.stack([i, q], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("outtype",))
+def _encode_kernel(i, q, *, outtype: str):
+    if outtype == "i16":
+        return codec.iq_to_i16_words(i, q)
+    return jnp.stack([i, q], axis=-1)
+
+
+class MultiChannelPipeline:
+    """Batched multi-satellite corrector over one input stream."""
+
+    def __init__(
+        self,
+        samplerate: int,
+        intype: str,
+        outtype: str,
+        channels: list[ChannelSpec],
+        *,
+        out_rate: int | None = None,
+        block_bytes: int = streaming.REFERENCE_BLOCK_BYTES,
+        chunk_blocks: int = 64,
+        quantize_ratio_f32: bool = True,
+        reset_quirk: bool = True,
+    ):
+        if not channels:
+            raise ValueError("need at least one channel")
+        self.samplerate = int(samplerate)
+        self.intype = intype
+        self.outtype = outtype
+        self.channels = channels
+        self.block_bytes = int(block_bytes)
+        self.chunk_blocks = int(chunk_blocks)
+        self.quantize_ratio_f32 = quantize_ratio_f32
+        self.reset_quirk = reset_quirk
+        self._bps_in = streaming.bytes_per_sample(intype)
+        self._bps_out = streaming.bytes_per_sample(outtype)
+        self.block_samples = self.block_bytes // self._bps_in
+        self.resampler = (
+            RationalResampler(samplerate, out_rate, channels=len(channels))
+            if out_rate is not None
+            else None
+        )
+
+    def _plan_all(self, counts):
+        C = len(self.channels)
+        B = self.chunk_blocks
+        fields = np.zeros((7, C, B), dtype=np.uint32)
+        for c, ch in enumerate(self.channels):
+            shifts = [
+                float(np.float32(s) + np.float32(ch.center_offset_hz))
+                for s in ch.scheduler.shifts(counts)
+            ]
+            plan = plan_blocks(
+                shifts, counts, self.samplerate, ch.state, self.block_samples,
+                quantize_f32=self.quantize_ratio_f32,
+                reset_quirk=self.reset_quirk,
+            )
+            for fi, arr in enumerate(
+                (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+                 plan.c2_hi, plan.c2_lo, plan.t)
+            ):
+                fields[fi, c, : arr.size] = arr
+        return fields
+
+    def process_chunk(self, chunk: streaming.Chunk):
+        """→ list of per-channel output byte strings."""
+        counts = [size // self._bps_in for size in chunk.block_sizes]
+        total = sum(counts)
+        C = len(self.channels)
+        if total == 0:
+            if counts:
+                self._plan_all(counts)
+            return [b""] * C
+        fields = self._plan_all(counts)
+
+        B, L = self.chunk_blocks, self.block_samples
+        if self.intype == "i16":
+            flat = np.zeros(B * L, dtype="<i4")
+            words = codec.bytes_to_i16_words(chunk.data)
+            flat[: words.size] = words
+            staged = flat.reshape(B, L)
+        else:
+            flat = np.zeros((B * L, 2), dtype="<f4")
+            pairs = codec.bytes_to_f32_pairs(chunk.data)
+            flat[: pairs.shape[0]] = pairs
+            staged = flat.reshape(B, L, 2)
+
+        mix_outtype = self.outtype if self.resampler is None else "f32"
+        out = _channels_mix_kernel(
+            jnp.asarray(staged),
+            *(jnp.asarray(a) for a in fields),
+            intype=self.intype, outtype=mix_outtype, C=C,
+        )
+
+        if self.resampler is None:
+            if self.outtype == "i16":
+                flat_out = np.asarray(out).reshape(C, -1)[:, :total]
+                return [codec.i16_words_to_bytes(flat_out[c]) for c in range(C)]
+            flat_out = np.asarray(out).reshape(C, -1, 2)[:, :total]
+            return [codec.f32_pairs_to_bytes(flat_out[c]) for c in range(C)]
+
+        planar = out.reshape(C, -1, 2)
+        yi, yq, n_out = self.resampler.process(
+            planar[..., 0], planar[..., 1], total,
+            M=self.resampler.max_out_for(B * L),
+        )
+        enc = _encode_kernel(yi, yq, outtype=self.outtype)
+        if self.outtype == "i16":
+            flat_out = np.asarray(enc)[:, :n_out]
+            return [codec.i16_words_to_bytes(flat_out[c]) for c in range(C)]
+        flat_out = np.asarray(enc)[:, :n_out]
+        return [codec.f32_pairs_to_bytes(flat_out[c]) for c in range(C)]
+
+    def run(self, fin, writers) -> Counters:
+        """Pump the stream; ``writers`` is one binary file object per channel."""
+        assert len(writers) == len(self.channels)
+        reader = streaming.BlockReader(fin, self.block_bytes)
+        counters = Counters()
+        while True:
+            chunk = reader.read_chunk(self.chunk_blocks)
+            outs = self.process_chunk(chunk)
+            for w, ob in zip(writers, outs):
+                if ob:
+                    w.write(ob)
+            counters.add(
+                samples=len(chunk.data) // self._bps_in,
+                bytes_in=len(chunk.data),
+                bytes_out=sum(len(ob) for ob in outs),
+                blocks=chunk.n_blocks,
+            )
+            if chunk.eof:
+                break
+        for w in writers:
+            w.flush()
+        return counters
+
+
+def load_channel_config(path: str, samplerate: int):
+    """Build ChannelSpecs from a JSON config (see docs/channels.md).
+
+    Shared keys may live at the top level (tlefile, location, time); each
+    entry in ``channels`` is either const (``shift``) or track (``tlename`` +
+    ``frequency`` [+ ``offset``]), plus optional ``center_offset``.
+    """
+    with open(path) as f:
+        cfg = json.load(f)
+    specs = []
+    for ch in cfg["channels"]:
+        center = float(ch.get("center_offset", 0.0))
+        if "shift" in ch:
+            sched = ConstScheduler(float(ch["shift"]))
+        else:
+            from doppler_tpu.cli import parse_location, parse_time_utc
+            from doppler_tpu.orbit import make_track_scheduler
+
+            lat, lon, alt = parse_location(ch.get("location", cfg["location"]))
+            time_s = ch.get("time", cfg.get("time"))
+            sched = make_track_scheduler(
+                tlefile=ch.get("tlefile", cfg.get("tlefile")),
+                tlename=ch["tlename"],
+                lat=lat, lon=lon, alt=alt,
+                frequency_hz=float(ch["frequency"]),
+                offset_hz=float(ch.get("offset", 0.0)),
+                samplerate=samplerate,
+                start_time=parse_time_utc(time_s) if time_s else None,
+            )
+        specs.append(ChannelSpec(
+            name=ch["name"], scheduler=sched, center_offset_hz=center,
+        ))
+    return specs, cfg

@@ -1,0 +1,132 @@
+"""Multi-channel pipeline: batched run must match per-channel single runs."""
+
+import io
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from doppler_tpu import oracle
+from doppler_tpu.ops.phase_plan import NCOState
+from doppler_tpu.ops.resample import attach_resampler
+from doppler_tpu.runtime.channels import ChannelSpec, MultiChannelPipeline
+from doppler_tpu.runtime.pipeline import ConstScheduler, Pipeline
+
+RNG = np.random.default_rng(0xCC)
+FS = 1024000
+
+
+def wideband(n):
+    raw = RNG.integers(-8000, 8000, size=2 * n, dtype=np.int16)
+    return raw.astype("<i2").tobytes()
+
+
+def single_run(buf, shift, resample=None):
+    pipe = Pipeline(FS, "i16", "i16", ConstScheduler(shift), chunk_blocks=16)
+    if resample:
+        attach_resampler(pipe, resample)
+    out = io.BytesIO()
+    pipe.run(io.BytesIO(buf), out)
+    return out.getvalue()
+
+
+def lsb_close(a: bytes, b: bytes, tol_frac=1e-3):
+    """Outputs from differently-compiled graphs may flip 1 LSB at trunc
+    boundaries; anything worse is a real bug."""
+    xa = np.frombuffer(a, dtype="<i2").astype(np.int32)
+    xb = np.frombuffer(b, dtype="<i2").astype(np.int32)
+    assert xa.size == xb.size
+    d = np.abs(xa - xb)
+    assert d.max() <= 1, d.max()
+    assert np.mean(d > 0) < tol_frac * 10 + 0.01
+
+
+def test_multichannel_matches_single_runs():
+    n = 8192 * 4
+    buf = wideband(n)
+    shifts = [-15000.0, 0.0, 120000.5]
+    specs = [
+        ChannelSpec("a", ConstScheduler(-20000.0), center_offset_hz=5000.0),
+        ChannelSpec("b", ConstScheduler(0.0)),
+        ChannelSpec("c", ConstScheduler(120000.5)),
+    ]
+    mp = MultiChannelPipeline(FS, "i16", "i16", specs, chunk_blocks=16)
+    outs = [io.BytesIO() for _ in specs]
+    mp.run(io.BytesIO(buf), outs)
+    # channel a: -20000 + center 5000 folds to -15000
+    for got, shift in zip(outs, shifts):
+        want = single_run(buf, shift)
+        lsb_close(got.getvalue(), want)
+
+
+def test_multichannel_with_resampler():
+    n = 8192 * 8
+    buf = wideband(n)
+    specs = [
+        ChannelSpec("x", ConstScheduler(9000.0)),
+        ChannelSpec("y", ConstScheduler(-7000.0)),
+    ]
+    mp = MultiChannelPipeline(FS, "i16", "i16", specs, out_rate=48000,
+                              chunk_blocks=16)
+    outs = [io.BytesIO() for _ in specs]
+    mp.run(io.BytesIO(buf), outs)
+    for got, shift in zip(outs, [9000.0, -7000.0]):
+        want = single_run(buf, shift, resample=48000)
+        assert len(got.getvalue()) == len(want)
+        a = oracle.decode_i16_bytes(got.getvalue())
+        b = oracle.decode_i16_bytes(want)
+        assert oracle.snr_db(b, a) > 80.0
+
+
+def test_per_channel_nco_state_independent():
+    # channels with different shifts accumulate different samplenum states
+    n = 8192 * 6  # crosses the rounding reset for the 9660.609375 ratio
+    buf = wideband(n)
+    specs = [
+        ChannelSpec("r", ConstScheduler(9660.609375 * 4)),  # fs=1.024M: same ratio
+        ChannelSpec("s", ConstScheduler(1000.0)),
+    ]
+    mp = MultiChannelPipeline(FS, "i16", "i16", specs, chunk_blocks=16)
+    outs = [io.BytesIO() for _ in specs]
+    mp.run(io.BytesIO(buf), outs)
+    assert specs[0].state.samplenum != specs[1].state.samplenum
+
+
+def test_cli_channels_subprocess(tmp_path):
+    n = 8192 * 2
+    buf = wideband(n)
+    cfg = {
+        "channels": [
+            {"name": "one", "shift": -15000, "center_offset": 0},
+            {"name": "two", "shift": 30000},
+        ]
+    }
+    cfgfile = tmp_path / "ch.json"
+    cfgfile.write_text(json.dumps(cfg))
+    proc = subprocess.run(
+        [sys.executable, "-m", "doppler_tpu", "channels",
+         "-s", str(FS), "-i", "i16", "--config", str(cfgfile),
+         "--output-dir", str(tmp_path), "--platform", "cpu",
+         "--chunk-blocks", "8"],
+        input=buf, stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    for name, shift in [("one", -15000.0), ("two", 30000.0)]:
+        got = (tmp_path / f"{name}.iq").read_bytes()
+        lsb_close(got, single_run(buf, shift))
+    assert b"multi-channel mode: 2 channels" in proc.stderr
+
+
+def test_cli_channels_bad_config(tmp_path):
+    cfgfile = tmp_path / "bad.json"
+    cfgfile.write_text("{\"channels\": [{\"name\": \"x\"}]}")
+    proc = subprocess.run(
+        [sys.executable, "-m", "doppler_tpu", "channels",
+         "-s", "1024000", "-i", "i16", "--config", str(cfgfile),
+         "--platform", "cpu"],
+        input=b"", stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=120,
+    )
+    assert proc.returncode == 1
+    assert b"bad channel config" in proc.stderr
