@@ -293,13 +293,29 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                  meta["sample_offset"],
                  meta["sample_offset"] * stream_bps(args.intype))
 
-    counters = pipe.run(stdin, stdout)
+    # graceful interruption: SIGTERM/SIGINT finish the in-flight chunk, then
+    # stop — so a --save-state checkpoint is exactly consistent with the
+    # bytes already written (elastic recovery, SURVEY §5)
+    stop_flag = {"stop": False}
+    if args.save_state:
+        import signal
+
+        def _on_signal(signum, frame):
+            stop_flag["stop"] = True
+
+        signal.signal(signal.SIGTERM, _on_signal)
+        signal.signal(signal.SIGINT, _on_signal)
+
+    counters = pipe.run(stdin, stdout, should_stop=lambda: stop_flag["stop"])
 
     if args.save_state:
         from doppler_tpu.runtime import checkpoint
 
         checkpoint.save(args.save_state, pipe)
         log.info("checkpoint written to %s", args.save_state)
+    if stop_flag["stop"]:
+        log.warning("stopped by signal after a consistent chunk boundary")
+        return 130
     log.info(
         "done: %d samples in %.3f s (%.3f Msps)",
         counters.samples, counters.elapsed(), counters.rate() / 1e6,

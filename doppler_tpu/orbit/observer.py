@@ -21,6 +21,8 @@ import numpy as np
 from doppler_tpu.orbit.sgp4 import SGP4, WGS72
 from doppler_tpu.orbit.tle import Tle
 
+from doppler_tpu.orbit.timebase import gmst_rad, unix_to_jd  # noqa: F401
+
 __all__ = ["Observer", "Predictor", "SatObs", "gmst_rad", "unix_to_jd"]
 
 _DEG2RAD = math.pi / 180.0
@@ -28,25 +30,6 @@ _RAD2DEG = 180.0 / math.pi
 # Earth rotation rate, rad/min (sidereal, PREDICT's omega_E = 1.00273790934 rev/day)
 _OMEGA_EARTH_RAD_MIN = 2.0 * math.pi * 1.00273790934 / 1440.0
 _F = 1.0 / 298.26          # WGS-72 flattening
-
-
-def unix_to_jd(unix_s):
-    """Unix seconds (UTC) → Julian date."""
-    return np.asarray(unix_s, dtype=np.float64) / 86400.0 + 2440587.5
-
-
-def gmst_rad(jd_ut1):
-    """Greenwich mean sidereal time, radians (IAU-82, Vallado eq. 3-45)."""
-    jd = np.asarray(jd_ut1, dtype=np.float64)
-    t = (jd - 2451545.0) / 36525.0
-    sec = (
-        67310.54841
-        + (876600.0 * 3600.0 + 8640184.812866) * t
-        + 0.093104 * t * t
-        - 6.2e-6 * t * t * t
-    )
-    # seconds of sidereal time → radians (86400 sid-sec = 2π)
-    return np.mod(np.mod(sec, 86400.0) / 86400.0 * 2.0 * math.pi, 2.0 * math.pi)
 
 
 @dataclass

@@ -96,11 +96,7 @@ class SGP4:
         rp = ao * (1.0 - ecco)
 
         period_min = _TWO_PI / no_unkozai
-        if period_min >= 225.0:
-            raise SGP4Error(
-                f"{tle.name!r}: deep-space satellite (period {period_min:.1f} min "
-                ">= 225); SDP4 not implemented"
-            )
+        self.deep = period_min >= 225.0   # SDP4 deep-space path
         if rp < 1.0:
             raise SGP4Error(f"{tle.name!r}: perigee below earth surface at epoch")
 
@@ -122,7 +118,7 @@ class SGP4:
         ss = 78.0 / g.radiusearthkm + 1.0
         qzms2t = ((120.0 - 78.0) / g.radiusearthkm) ** 4
 
-        self.isimp = rp < (220.0 / g.radiusearthkm + 1.0)
+        self.isimp = rp < (220.0 / g.radiusearthkm + 1.0) or self.deep
         sfour = ss
         qzms24 = qzms2t
         perige = (rp - 1.0) * g.radiusearthkm
@@ -195,6 +191,27 @@ class SGP4:
         self.delmo = (1.0 + eta * math.cos(tle.mo)) ** 3
         self.sinmao = math.sin(tle.mo)
 
+        # deep-space (SDP4) initialization
+        self.ds = None
+        if self.deep:
+            from doppler_tpu.orbit import deepspace as dsx
+            from doppler_tpu.orbit.timebase import gmst_rad
+
+            gsto = float(gmst_rad(tle.epoch_jd))
+            epoch_d1950 = tle.epoch_jd - 2433281.5
+            ds = dsx.dscom(epoch_d1950, ecco, tle.argpo, 0.0, inclo,
+                           tle.nodeo, no_unkozai)
+            dsx.dpper(ds, 0.0, ecco, inclo, tle.nodeo, tle.argpo, tle.mo,
+                      init=True)
+            dsx.dsinit(
+                ds, xke=g.xke, cosim=cosio, sinim=sinio, emsq=eccsq,
+                argpo=tle.argpo, inclm=inclo, no=no_unkozai,
+                nodeo=tle.nodeo, mo=tle.mo, mdot=self.mdot,
+                argpdot=self.argpdot, nodedot=self.nodedot,
+                xpidot=self.argpdot + self.nodedot, eccm=ecco, gsto=gsto,
+            )
+            self.ds = ds
+
         self.d2 = self.d3 = self.d4 = 0.0
         self.t3cof = self.t4cof = self.t5cof = 0.0
         if not self.isimp:
@@ -245,9 +262,25 @@ class SGP4:
             tempe = tempe + self.bstar * self.cc5 * (np.sin(mm) - self.sinmao)
             templ = templ + self.t3cof * t3 + t4 * (self.t4cof + t * self.t5cof)
 
-        am = (g.xke / self.no_unkozai) ** _X2O3 * tempa * tempa
+        # secular deep-space (SDP4): lunar-solar rates + resonance integration
+        nm = np.full_like(t, self.no_unkozai)
+        em = np.full_like(t, self.ecco)
+        inclm = np.full_like(t, self.inclo)
+        if self.deep:
+            from doppler_tpu.orbit import deepspace as dsx
+
+            for k in range(t.size):
+                (em[k], inclm[k], nodem[k], argpm[k],
+                 mm[k], nm[k]) = dsx.dspace(
+                    self.ds, float(t[k]), float(em[k]), float(inclm[k]),
+                    float(nodem[k]), float(argpm[k]), float(mm[k]),
+                )
+            if np.any(nm <= 0.0):
+                raise SGP4Error(f"{self.tle.name!r}: mean motion ≤ 0 (resonance)")
+
+        am = (g.xke / nm) ** _X2O3 * tempa * tempa
         nm = g.xke / am ** 1.5
-        em = self.ecco - tempe
+        em = em - tempe
         if np.any(em >= 1.0) or np.any(am < 0.95):
             raise SGP4Error(f"{self.tle.name!r}: orbit decayed during propagation")
         em = np.clip(em, 1.0e-6, 0.999999)
@@ -258,17 +291,45 @@ class SGP4:
         argpm = _fmod2p(argpm)
         mm = _fmod2p(xlm - argpm - nodem)
 
-        sinim = math.sin(self.inclo)
-        cosim = math.cos(self.inclo)
+        # periodic deep-space corrections + inclination-dependent coefficients
+        ep, xincp, nodep, argpp, mp = em, inclm, nodem, argpm, mm
+        if self.deep:
+            for k in range(t.size):
+                (ep[k], xincp[k], nodep[k], argpp[k], mp[k]) = dsx.dpper(
+                    self.ds, float(t[k]), float(ep[k]), float(xincp[k]),
+                    float(nodep[k]), float(argpp[k]), float(mp[k]),
+                )
+            flip = xincp < 0.0
+            xincp = np.where(flip, -xincp, xincp)
+            nodep = np.where(flip, nodep + math.pi, nodep)
+            argpp = np.where(flip, argpp - math.pi, argpp)
+            ep = np.clip(ep, 1.0e-6, 0.999999)
+            sinip = np.sin(xincp)
+            cosip = np.cos(xincp)
+            cosisq = cosip * cosip
+            con41 = 3.0 * cosisq - 1.0
+            x1mth2 = 1.0 - cosisq
+            x7thm1 = 7.0 * cosisq - 1.0
+            aycof = -0.5 * g.j3oj2 * sinip
+            denom = np.where(np.abs(1.0 + cosip) > 1.5e-12, 1.0 + cosip, 1.5e-12)
+            xlcof = -0.25 * g.j3oj2 * sinip * (3.0 + 5.0 * cosip) / denom
+        else:
+            sinip = math.sin(self.inclo)
+            cosip = math.cos(self.inclo)
+            con41 = self.con41
+            x1mth2 = self.x1mth2
+            x7thm1 = self.x7thm1
+            aycof = self.aycof
+            xlcof = self.xlcof
 
         # long-period periodics
-        axnl = em * np.cos(argpm)
-        temp = 1.0 / (am * (1.0 - em * em))
-        aynl = em * np.sin(argpm) + temp * self.aycof
-        xl = mm + argpm + nodem + temp * self.xlcof * axnl
+        axnl = ep * np.cos(argpp)
+        temp = 1.0 / (am * (1.0 - ep * ep))
+        aynl = ep * np.sin(argpp) + temp * aycof
+        xl = mp + argpp + nodep + temp * xlcof * axnl
 
         # Kepler's equation for E + ω
-        u = _fmod2p(xl - nodem)
+        u = _fmod2p(xl - nodep)
         eo1 = u.copy()
         for _ in range(10):
             sineo1 = np.sin(eo1)
@@ -303,13 +364,13 @@ class SGP4:
         temp1 = 0.5 * g.j2 * temp
         temp2 = temp1 * temp
 
-        mrt = rl * (1.0 - 1.5 * temp2 * betal * self.con41) \
-            + 0.5 * temp1 * self.x1mth2 * cos2u
-        su = su - 0.25 * temp2 * self.x7thm1 * sin2u
-        xnode = nodem + 1.5 * temp2 * cosim * sin2u
-        xinc = self.inclo + 1.5 * temp2 * cosim * sinim * cos2u
-        mvt = rdotl - nm * temp1 * self.x1mth2 * sin2u / g.xke
-        rvdot = rvdotl + nm * temp1 * (self.x1mth2 * cos2u + 1.5 * self.con41) / g.xke
+        mrt = rl * (1.0 - 1.5 * temp2 * betal * con41) \
+            + 0.5 * temp1 * x1mth2 * cos2u
+        su = su - 0.25 * temp2 * x7thm1 * sin2u
+        xnode = nodep + 1.5 * temp2 * cosip * sin2u
+        xinc = xincp + 1.5 * temp2 * cosip * sinip * cos2u
+        mvt = rdotl - nm * temp1 * x1mth2 * sin2u / g.xke
+        rvdot = rvdotl + nm * temp1 * (x1mth2 * cos2u + 1.5 * con41) / g.xke
 
         # orientation vectors
         sinsu = np.sin(su)

@@ -215,11 +215,18 @@ class Pipeline:
         enc = _encode_kernel(yi, yq, outtype=self.outtype)
         return self._stage_out(enc, n_out)
 
-    def run(self, fin, fout) -> Counters:
-        """Pump ``fin`` → ``fout`` until EOF (short read), reference framing."""
+    def run(self, fin, fout, should_stop=None) -> Counters:
+        """Pump ``fin`` → ``fout`` until EOF (short read), reference framing.
+
+        ``should_stop``: optional callable polled between chunks — a graceful
+        stop leaves the pipeline state consistent with the bytes written, so
+        a checkpoint taken afterwards resumes exactly (no torn chunks).
+        """
         reader = streaming.BlockReader(fin, self.block_bytes)
         counters = Counters()
         while True:
+            if should_stop is not None and should_stop():
+                break
             chunk = reader.read_chunk(self.chunk_blocks)
             out_bytes = self.process_chunk(chunk)
             if out_bytes:

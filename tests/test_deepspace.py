@@ -1,0 +1,109 @@
+"""SDP4 deep-space tests: physical invariants for GEO and Molniya orbits.
+
+No trusted third-party SGP4 is available in this environment, so deep-space
+correctness is pinned by physics: orbit geometry from the mean elements,
+velocity = d(position)/dt self-consistency, geostationary longitude
+stationarity, and smoothness/boundedness of the perturbations.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from doppler_tpu.orbit.sgp4 import SGP4
+from doppler_tpu.orbit.timebase import gmst_rad
+from doppler_tpu.orbit.tle import Tle, _checksum
+
+
+def fix(line):
+    line = line.ljust(68)[:68]
+    return line + str(_checksum(line))
+
+
+def make_tle(incl, raan, ecc7, argp, ma, mm_revday):
+    l1 = fix("1 11111U          80275.50000000  .00000000  00000-0  00000-0 0    8")
+    l2 = fix(
+        f"2 11111 {incl:8.4f} {raan:8.4f} {ecc7:07d} {argp:8.4f} {ma:8.4f} "
+        f"{mm_revday:11.8f}  105"
+    )
+    return Tle.from_lines("DEEP TEST", l1, l2)
+
+
+@pytest.fixture(scope="module")
+def geo():
+    # near-geostationary: i=0.05°, e=0.0002, n≈1.0027 rev/day
+    return SGP4(make_tle(0.0500, 75.0, 2000, 120.0, 240.0, 1.00273790))
+
+
+@pytest.fixture(scope="module")
+def molniya():
+    # 12h critically-inclined high-e orbit (triggers the irez=2 resonance)
+    return SGP4(make_tle(63.4000, 40.0, 7000000, 270.0, 10.0, 2.00564400))
+
+
+def test_deep_flag(geo, molniya):
+    assert geo.deep and geo.ds is not None and geo.ds.irez == 1
+    assert molniya.deep and molniya.ds.irez == 2
+
+
+def test_geo_radius_and_speed(geo):
+    ts = np.linspace(0.0, 2880.0, 49)  # two days
+    r, v = geo.propagate(ts)
+    radius = np.linalg.norm(r, axis=-1)
+    speed = np.linalg.norm(v, axis=-1)
+    assert np.all(np.abs(radius - 42164.0) < 150.0), (radius.min(), radius.max())
+    assert np.all(np.abs(speed - 3.0747) < 0.02)
+
+
+def test_geo_longitude_stationary(geo):
+    """Sub-satellite longitude of a GEO bird must drift < ~0.3° over a day."""
+    ts = np.linspace(0.0, 1440.0, 25)
+    r, _ = geo.propagate(ts)
+    jd = geo.tle.epoch_jd + ts / 1440.0
+    lon = np.degrees(np.arctan2(r[:, 1], r[:, 0]) - gmst_rad(jd))
+    lon = np.mod(lon + 180.0, 360.0) - 180.0
+    lon = np.unwrap(np.radians(lon))
+    assert math.degrees(lon.max() - lon.min()) < 0.5
+
+
+def test_molniya_geometry(molniya):
+    ts = np.linspace(0.0, 1436.0, 200)
+    r, _ = molniya.propagate(ts)
+    radius = np.linalg.norm(r, axis=-1)
+    # a ≈ 26554 km, e≈0.7 → perigee ≈ 7966, apogee ≈ 45142
+    assert 7400.0 < radius.min() < 8600.0
+    assert 44000.0 < radius.max() < 46500.0
+
+
+def test_deep_velocity_is_position_derivative(geo, molniya):
+    for sat in (geo, molniya):
+        for tmin in [10.0, 700.0, 1500.0]:
+            h = 1e-2
+            r0, _ = sat.propagate(tmin - h)
+            r1, _ = sat.propagate(tmin + h)
+            _, v = sat.propagate(tmin)
+            fd = (r1 - r0) / (2 * h) / 60.0
+            scale = max(1.0, float(np.linalg.norm(v)))
+            assert np.abs(fd - v).max() / scale < 2e-4, (sat.tle.name, tmin)
+
+
+def test_deep_periodics_bounded(geo):
+    """Lunar-solar periodics are small corrections: position vs a no-dpper
+    run should differ by km-scale, not wildly."""
+    ts = np.linspace(0.0, 1440.0, 20)
+    r, _ = geo.propagate(ts)
+    # magnitude continuity: each step moves ≤ its orbital arc + small margin
+    d = np.linalg.norm(np.diff(r, axis=0), axis=-1)
+    step_min = float(ts[1] - ts[0])
+    arc = 2 * math.pi * 42164.0 * step_min / 1436.0
+    assert np.all(d < arc * 1.02) and np.all(d > arc * 0.9)
+
+
+def test_leo_unaffected_by_deep_path():
+    l1 = fix("1 88888U          80275.98708465  .00073094  13844-3  66816-4 0    8")
+    l2 = fix("2 88888  72.8435 115.9689 0086731  52.6988 110.5714 16.05824518  105")
+    s = SGP4(Tle.from_lines("T", l1, l2))
+    assert not s.deep
+    r, v = s.propagate(360.0)
+    assert np.linalg.norm(r - np.array([2456.10705566, -6071.93853760, 1222.89727783])) < 0.1

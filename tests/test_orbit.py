@@ -100,12 +100,12 @@ def test_sgp4_orbit_radius_sane(testsat):
     assert radius.min() > 6500 and radius.max() < 6800
 
 
-def test_deep_space_rejected():
-    # geostationary-ish: ~1 rev/day → period ≫ 225 min
+def test_deep_space_takes_sdp4_path():
+    # geostationary-ish: ~1 rev/day → period ≫ 225 min → SDP4 (deepspace.py)
     l1 = fix("1 11111U          80275.98708465  .00000000  00000-0  00000-0 0    8")
     l2 = fix("2 11111   0.0500  75.0000 0002000 120.0000 240.0000  1.00270000  105")
-    with pytest.raises(SGP4Error, match="deep-space"):
-        SGP4(Tle.from_lines("GEO", l1, l2))
+    s = SGP4(Tle.from_lines("GEO", l1, l2))
+    assert s.deep and s.isimp and s.ds is not None
 
 
 def test_gmst_j2000():

@@ -1,0 +1,70 @@
+"""Realtime track mode (no --time): wall-clock scheduler with a fake clock."""
+
+import numpy as np
+
+from doppler_tpu.orbit import Observer, Predictor, RealtimeTrackScheduler, Tle
+from doppler_tpu.orbit.tle import _checksum
+from doppler_tpu.parallel.distributed import host_slice
+
+
+def fix(line):
+    line = line.ljust(68)[:68]
+    return line + str(_checksum(line))
+
+
+L1 = fix("1 88888U          80275.98708465  .00073094  13844-3  66816-4 0    8")
+L2 = fix("2 88888  72.8435 115.9689 0086731  52.6988 110.5714 16.05824518  105")
+EPOCH_UNIX = (2444514.48708465 - 2440587.5) * 86400.0
+
+
+class FakeClock:
+    def __init__(self, t0):
+        self.t = t0
+
+    def __call__(self):
+        return self.t
+
+
+def make_sched(clock):
+    pred = Predictor(Tle.from_lines("T", L1, L2), Observer(58.26541, 26.46667, 76.0))
+    return RealtimeTrackScheduler(pred, 437505000.0, 5000.0, 256000,
+                                  telemetry=False, clock=clock)
+
+
+def test_realtime_scheduler_tracks_wall_clock():
+    clock = FakeClock(EPOCH_UNIX + 600.0)
+    s = make_sched(clock)
+    a = s.shifts([2048] * 4)
+    assert len(set(a)) == 1  # one evaluation per chunk
+    clock.t += 120.0
+    b = s.shifts([2048] * 4)
+    assert a[0] != b[0]  # doppler moved over two minutes
+    # doppler magnitude sane for LEO at UHF + 5 kHz offset
+    for v in (a[0], b[0]):
+        assert abs(v - 5000.0) < 12000.0
+
+
+def test_realtime_matches_recorded_at_same_instant():
+    t = EPOCH_UNIX + 1234.0
+    s = make_sched(FakeClock(t))
+    rt = s.shifts([2048])[0]
+    pred = Predictor(Tle.from_lines("T", L1, L2), Observer(58.26541, 26.46667, 76.0))
+    dop, _ = pred.doppler_hz(t, 437505000.0)
+    want = float(np.float32(dop) + np.float32(5000.0))
+    assert rt == want
+
+
+def test_host_slice_partitioning():
+    # 4 hosts, 16 channels, 64 blocks → channel-major: 4-way channel split
+    shards = [host_slice(16, 64, process_index=i, process_count=4)
+              for i in range(4)]
+    assert all(s.block_lo == 0 and s.block_hi == 64 for s in shards)
+    chans = sorted((s.channel_lo, s.channel_hi) for s in shards)
+    assert chans == [(0, 4), (4, 8), (8, 12), (12, 16)]
+
+    # 4 hosts, 1 channel → time split
+    shards = [host_slice(1, 64, process_index=i, process_count=4)
+              for i in range(4)]
+    blocks = sorted((s.block_lo, s.block_hi) for s in shards)
+    assert blocks == [(0, 16), (16, 32), (32, 48), (48, 64)]
+    assert shards[1].byte_range(8192) == (16 * 8192, 32 * 8192)
