@@ -14,6 +14,7 @@ chip under the driver; pass --platform cpu to force CPU).
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -23,12 +24,29 @@ import numpy as np
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", choices=["default", "cpu"], default="default")
-    ap.add_argument("--mode", choices=["chain", "mix", "mix-pallas"], default="chain")
+    ap.add_argument(
+        "--mode",
+        choices=["chain", "chain-pallas", "mix", "mix-pallas"],
+        default="chain",
+    )
     ap.add_argument("--samples", type=int, default=1 << 24)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the timed loop")
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache: first-touch XLA/Mosaic compiles through this
+    # image's remote-compile path take minutes; warm runs then start instantly
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -82,6 +100,22 @@ def main() -> int:
         from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas as step
 
         metric = "nco_mix_pallas_i16_samples_per_s_chip"
+    elif args.mode == "chain-pallas":
+        from doppler_tpu.ops.pallas.chain import (
+            make_chain_taps,
+            mix_resample_chain_pallas,
+        )
+
+        chain_taps = jax.device_put(
+            jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q))
+        )
+
+        def step(data, *plan):
+            return mix_resample_chain_pallas(
+                data, *plan, chain_taps, P=rs.P, Q=rs.Q, T=rs.T
+            )
+
+        metric = "mix_resample_chain_pallas_i16_samples_per_s_chip"
     else:
 
         @jax.jit
@@ -99,12 +133,22 @@ def main() -> int:
     out = step(data, *plan_arrs)
     out.block_until_ready()
 
+    if args.profile:
+        import contextlib
+
+        trace_ctx = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+
+        trace_ctx = contextlib.nullcontext()
+
     times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        out = step(data, *plan_arrs)
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
+    with trace_ctx:
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out = step(data, *plan_arrs)
+            out.block_until_ready()
+            times.append(time.perf_counter() - t0)
     best = min(times)
     rate = N / best
     print(

@@ -136,18 +136,19 @@ class RationalResampler:
             P=P, Q=Q, T=T, M=int(M),
         )
 
-        # advance streaming state (host integers + history ring)
+        # advance streaming state (host integers + history ring).  History
+        # stays a device array: no host sync on the async-dispatch path.
         self.m_next = m0 + n_out
         self.in_consumed += int(valid)
         if valid and T > 1:
-            allin_i = np.concatenate(
-                [self._hist_i, np.asarray(i[..., :valid])], axis=-1
+            allin_i = jnp.concatenate(
+                [jnp.asarray(self._hist_i), jnp.asarray(i)[..., :valid]], axis=-1
             )
-            allin_q = np.concatenate(
-                [self._hist_q, np.asarray(q[..., :valid])], axis=-1
+            allin_q = jnp.concatenate(
+                [jnp.asarray(self._hist_q), jnp.asarray(q)[..., :valid]], axis=-1
             )
-            self._hist_i = allin_i[..., -(T - 1):].copy()
-            self._hist_q = allin_q[..., -(T - 1):].copy()
+            self._hist_i = allin_i[..., -(T - 1):]
+            self._hist_q = allin_q[..., -(T - 1):]
         return yi, yq, n_out
 
     # -- checkpointing ------------------------------------------------------
@@ -156,8 +157,8 @@ class RationalResampler:
         return {
             "m_next": self.m_next,
             "in_consumed": self.in_consumed,
-            "hist_i": self._hist_i.copy(),
-            "hist_q": self._hist_q.copy(),
+            "hist_i": np.asarray(self._hist_i).copy(),
+            "hist_q": np.asarray(self._hist_q).copy(),
         }
 
     def load_state(self, state: dict) -> None:

@@ -103,6 +103,7 @@ class Pipeline:
         reset_quirk: bool = True,
         flush_every_chunk: bool = True,
         impl: str = "xla",
+        pallas_interpret: bool = False,
     ):
         if samplerate <= 0:
             raise ValueError("samplerate must be positive")
@@ -118,6 +119,7 @@ class Pipeline:
         if impl not in ("xla", "pallas"):
             raise ValueError(f"impl must be 'xla' or 'pallas', got {impl!r}")
         self.impl = impl
+        self.pallas_interpret = pallas_interpret  # CPU testing of pallas paths
         self.nco_state = NCOState()   # the stream's entire resumable DSP state
 
         self._bps_in = streaming.bytes_per_sample(intype)
@@ -160,14 +162,31 @@ class Pipeline:
     # -- main loop ----------------------------------------------------------
 
     def process_chunk(self, chunk: streaming.Chunk) -> bytes:
-        """Process one chunk of blocks; returns output bytes."""
+        """Process one chunk of blocks synchronously; returns output bytes."""
+        return self._finalize(self._dispatch(chunk))
+
+    def _finalize(self, pending) -> bytes:
+        """Materialize a dispatched chunk's bytes (blocks on the device)."""
+        if pending is None:
+            return b""
+        out, n_valid = pending
+        return self._stage_out(out, n_valid)
+
+    def _dispatch(self, chunk: streaming.Chunk):
+        """Plan + launch one chunk on the device WITHOUT waiting for it.
+
+        Returns an opaque pending handle for :meth:`_finalize`.  All host
+        state (scheduler, NCO counter, resampler bookkeeping) advances here,
+        so the next chunk can be dispatched while this one computes —
+        one-chunk-deep software pipelining of host staging vs device work.
+        """
         counts = [size // self._bps_in for size in chunk.block_sizes]
         total = sum(counts)
         if total == 0:
             # still advance the scheduler for empty tail blocks
             if counts:
                 self.scheduler.shifts(counts)
-            return b""
+            return None
         shifts = list(self.scheduler.shifts(counts))
         assert len(shifts) == len(counts)
 
@@ -184,17 +203,59 @@ class Pipeline:
 
         staged = self._stage_in(chunk.data, total)
         mix_outtype = self.outtype if self.resampler is None else "f32"
-        use_pallas = (
+        L = self.block_samples
+        rs = self.resampler
+        use_pallas_mix = (
             self.impl == "pallas"
             and self.intype == "i16"
             and mix_outtype == "i16"
-            and self.block_samples % 128 == 0
+            and L % 128 == 0
         )
-        if use_pallas:
+        use_pallas_chain = (
+            self.impl == "pallas"
+            and rs is not None
+            and self.intype == "i16"
+            and self.outtype == "i16"
+            and L % 128 == 0
+            and 128 % rs.Q == 0
+        )
+        if use_pallas_chain:
+            from doppler_tpu.ops.pallas.chain import (
+                carry_rows,
+                make_chain_taps,
+                mix_resample_chain_pallas_stream,
+            )
+
+            if getattr(self, "_chain_carry", None) is None:
+                self._chain_carry = jnp.zeros(
+                    (2, carry_rows(rs.T), 128), jnp.float32
+                )
+            taps = getattr(self, "_chain_taps", None)
+            if taps is None:
+                taps = jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q))
+                self._chain_taps = taps
+            out, self._chain_carry = mix_resample_chain_pallas_stream(
+                jnp.asarray(staged), *(jnp.asarray(a) for a in arrs),
+                taps, self._chain_carry, P=rs.P, Q=rs.Q, T=rs.T,
+                interpret=self.pallas_interpret,
+            )
+            n_out = rs.out_count_for(total)
+            # keep the resampler's checkpoint state in sync with the fused
+            # path (device-lazy: no sync until a checkpoint materializes it)
+            rs.m_next += n_out
+            rs.in_consumed += total
+            flat = self._chain_carry.reshape(2, -1)
+            rs._hist_i = flat[0, flat.shape[1] - (rs.T - 1):]
+            rs._hist_q = flat[1, flat.shape[1] - (rs.T - 1):]
+            self._sample_offset += total
+            return (out, n_out)
+
+        if use_pallas_mix:
             from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas
 
             out = mix_blocks_pallas(
-                jnp.asarray(staged), *(jnp.asarray(a) for a in arrs)
+                jnp.asarray(staged), *(jnp.asarray(a) for a in arrs),
+                interpret=self.pallas_interpret,
             )
         else:
             out = _chunk_kernel(
@@ -205,7 +266,7 @@ class Pipeline:
             )
         self._sample_offset += total
         if self.resampler is None:
-            return self._stage_out(out, total)
+            return (out, total)
 
         flat = out.reshape(-1, 2)
         yi, yq, n_out = self.resampler.process(
@@ -213,7 +274,7 @@ class Pipeline:
             M=self.resampler.max_out_for(B * self.block_samples),
         )
         enc = _encode_kernel(yi, yq, outtype=self.outtype)
-        return self._stage_out(enc, n_out)
+        return (enc, n_out)
 
     def run(self, fin, fout, should_stop=None) -> Counters:
         """Pump ``fin`` → ``fout`` until EOF (short read), reference framing.
@@ -224,22 +285,34 @@ class Pipeline:
         """
         reader = streaming.BlockReader(fin, self.block_bytes)
         counters = Counters()
-        while True:
-            if should_stop is not None and should_stop():
-                break
-            chunk = reader.read_chunk(self.chunk_blocks)
-            out_bytes = self.process_chunk(chunk)
+
+        def emit(pending, bytes_in, blocks):
+            out_bytes = self._finalize(pending)
             if out_bytes:
                 fout.write(out_bytes)
                 if self.flush_every_chunk:
                     fout.flush()
             counters.add(
                 samples=len(out_bytes) // self._bps_out,
-                bytes_in=len(chunk.data),
+                bytes_in=bytes_in,
                 bytes_out=len(out_bytes),
-                blocks=chunk.n_blocks,
+                blocks=blocks,
             )
+
+        # one-chunk-deep pipelining: dispatch chunk k+1 while k materializes
+        pending = None
+        pending_meta = (0, 0)
+        while True:
+            if should_stop is not None and should_stop():
+                break
+            chunk = reader.read_chunk(self.chunk_blocks)
+            new_pending = self._dispatch(chunk)
+            if pending is not None or pending_meta[1]:
+                emit(pending, *pending_meta)
+            pending = new_pending
+            pending_meta = (len(chunk.data), chunk.n_blocks)
             if chunk.eof:
                 break
+        emit(pending, *pending_meta)
         fout.flush()
         return counters

@@ -1,0 +1,114 @@
+"""Fused Pallas chain kernel (interpret mode) vs mix + resample oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from doppler_tpu import oracle
+from doppler_tpu.ops import codec, nco
+from doppler_tpu.ops.pallas.chain import mix_resample_chain_pallas
+from doppler_tpu.ops.phase_plan import NCOState, plan_blocks
+from doppler_tpu.ops.pallas.chain import make_chain_taps
+from doppler_tpu.ops.resample import RationalResampler, resample_oracle
+
+RNG = np.random.default_rng(0xCA)
+FS = 1024000
+
+
+def run_case(B, L, shifts):
+    rs = RationalResampler(FS, 48000)
+    taps = make_chain_taps(rs.bank, rs.P, rs.Q)
+    words = RNG.integers(-(1 << 31), 1 << 31, size=(B, L), dtype=np.int64).astype(
+        np.int32
+    )
+    plan = plan_blocks(shifts, [L] * B, FS, NCOState(), L)
+    arrs = (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t)
+    got = np.asarray(
+        mix_resample_chain_pallas(
+            jnp.asarray(words), *arrs, taps, P=rs.P, Q=rs.Q, T=rs.T,
+            interpret=True,
+        )
+    ).reshape(-1)
+
+    i, q = codec.i16_words_to_iq(jnp.asarray(words))
+    i, q = nco.mix_blocks(i, q, *arrs)
+    mixed = (np.asarray(i) + 1j * np.asarray(q)).reshape(-1)
+    want_c = resample_oracle(mixed, rs.P, rs.Q, rs.bank).astype(np.complex64)
+    want = np.frombuffer(oracle.encode_i16_bytes(want_c), dtype="<i2").astype(np.int32)
+    got_iq = np.frombuffer(
+        codec.i16_words_to_bytes(got), dtype="<i2"
+    ).astype(np.int32)
+    assert got_iq.size == want.size
+    return np.abs(got_iq - want)
+
+
+def test_chain_matches_oracle_multiblock():
+    d = run_case(4, 8192, [9000.0, 9000.5, -5000.0, 0.0])
+    assert d.max() <= 1
+    assert np.mean(d > 0) < 0.01
+
+
+def test_chain_carry_across_blocks():
+    """Cross-block FIR carry: outputs near block boundaries must still match
+    the whole-stream oracle (a broken carry fails by ~full amplitude)."""
+    d = run_case(3, 8192, [4242.0] * 3)
+    assert d.max() <= 1
+
+
+def test_chain_small_blocks_supported():
+    # L=2048 (the reference block size for i16) is fine: M=96 needs no lane
+    # alignment in the subgroup-major output layout
+    d = run_case(3, 2048, [5000.0] * 3)
+    assert d.max() <= 1
+
+
+def test_chain_rejects_unsupported_q():
+    from doppler_tpu.ops.pallas.chain import make_chain_taps
+
+    rs = RationalResampler(1024000, 44100)   # Q=10240: 128 % Q != 0
+    with pytest.raises(ValueError, match="128 % Q"):
+        make_chain_taps(rs.bank, rs.P, rs.Q)
+
+
+def test_chain_streaming_carry_across_calls():
+    """Two chained calls with carry must equal one whole-stream call."""
+    import jax.numpy as jnp
+
+    from doppler_tpu.ops.pallas.chain import (
+        carry_rows,
+        mix_resample_chain_pallas_stream,
+    )
+
+    rs = RationalResampler(FS, 48000)
+    taps = make_chain_taps(rs.bank, rs.P, rs.Q)
+    B, L = 4, 8192
+    words = RNG.integers(-(1 << 31), 1 << 31, size=(B, L), dtype=np.int64).astype(
+        np.int32
+    )
+    shifts = [1234.5] * B
+    plan = plan_blocks(shifts, [L] * B, FS, NCOState(), L)
+    arrs = (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t)
+
+    whole = np.asarray(
+        mix_resample_chain_pallas(
+            jnp.asarray(words), *arrs, taps, P=rs.P, Q=rs.Q, T=rs.T,
+            interpret=True,
+        )
+    )
+
+    c0 = jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32)
+    half = [a[:2] for a in arrs]
+    o1, c1 = mix_resample_chain_pallas_stream(
+        jnp.asarray(words[:2]), *half, taps, c0,
+        P=rs.P, Q=rs.Q, T=rs.T, interpret=True,
+    )
+    # second call: plans for blocks 2..3 (same state continuation)
+    half2 = [a[2:] for a in arrs]
+    o2, _ = mix_resample_chain_pallas_stream(
+        jnp.asarray(words[2:]), *half2, taps, c1,
+        P=rs.P, Q=rs.Q, T=rs.T, interpret=True,
+    )
+    split = np.concatenate([np.asarray(o1), np.asarray(o2)])
+    np.testing.assert_array_equal(split, whole)

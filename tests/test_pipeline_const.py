@@ -119,3 +119,28 @@ def test_cli_bad_location_errors():
     )
     assert proc.returncode == 1
     assert b"location" in proc.stderr.lower()
+
+
+def test_pipeline_pallas_chain_matches_xla(tmp_path):
+    """Pipeline with the fused Pallas chain (interpret) vs the XLA path,
+    streaming across chunks and a partial tail."""
+    from doppler_tpu.ops.resample import attach_resampler
+
+    fs = 1024000
+    n = 2048 * 33 + 500   # 33 full reference blocks + ragged tail
+    raw = RNG.integers(-9000, 9000, size=2 * n, dtype=np.int16).astype("<i2").tobytes()
+
+    def run(impl, interpret=False):
+        pipe = Pipeline(fs, "i16", "i16", ConstScheduler(9000.0),
+                        chunk_blocks=8, impl=impl, pallas_interpret=interpret)
+        attach_resampler(pipe, 48000)
+        out = io.BytesIO()
+        pipe.run(io.BytesIO(raw), out)
+        return out.getvalue()
+
+    a = run("xla")
+    b = run("pallas", interpret=True)
+    assert len(a) == len(b)
+    xa = np.frombuffer(a, dtype="<i2").astype(np.int32)
+    xb = np.frombuffer(b, dtype="<i2").astype(np.int32)
+    assert np.abs(xa - xb).max() <= 1

@@ -145,3 +145,35 @@ def test_cli_track_subprocess(tmp_path, predictor):
     out = io.BytesIO()
     pipe.run(io.BytesIO(raw), out)
     assert proc.stdout == out.getvalue()
+
+
+def test_cli_track_realtime_no_time(tmp_path):
+    """Live mode (no --time): wall-clock propagation, stream still corrected."""
+    from doppler_tpu.orbit.tle import _checksum
+
+    def fx(line):
+        line = line.ljust(68)[:68]
+        return line + str(_checksum(line))
+
+    # zero-drag TLE so propagating decades past epoch stays valid
+    l1 = fx("1 88888U          80275.98708465  .00000000  00000-0  00000-0 0    8")
+    l2 = fx("2 88888  72.8435 115.9689 0086731  52.6988 110.5714 16.05824518  105")
+    tlefile = tmp_path / "t.txt"
+    tlefile.write_text(f"TEST SAT\n{l1}\n{l2}\n")
+
+    n = 2048 * 4
+    rng = np.random.default_rng(12)
+    raw = rng.integers(-2000, 2000, size=2 * n, dtype=np.int16).astype("<i2").tobytes()
+    proc = subprocess.run(
+        [sys.executable, "-m", "doppler_tpu", "track",
+         "-s", str(FS), "-i", "i16",
+         "--tlefile", str(tlefile), "--tlename", "TEST SAT",
+         "--location", "lat=58.26541,lon=26.46667,alt=76",
+         "--frequency", str(int(FREQ)), "--platform", "cpu",
+         "--chunk-blocks", "4"],
+        input=raw, stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    assert len(proc.stdout) == len(raw)
+    # output actually shifted (non-zero doppler at UHF for a moving LEO)
+    assert proc.stdout != raw
