@@ -26,9 +26,11 @@ def main() -> int:
     ap.add_argument("--platform", choices=["default", "cpu"], default="default")
     ap.add_argument(
         "--mode",
-        choices=["chain", "chain-pallas", "mix", "mix-pallas"],
+        choices=["chain", "chain-pallas", "mix", "mix-pallas", "channels"],
         default="chain",
     )
+    ap.add_argument("--channels", type=int, default=16,
+                    help="channel count for --mode channels (config 4)")
     ap.add_argument("--samples", type=int, default=1 << 24)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--profile", metavar="DIR", default=None,
@@ -65,8 +67,12 @@ def main() -> int:
 
     fs = 1024000
     L = 8192
-    B = max(1, args.samples // L)
+    per_stream = args.samples
+    if args.mode == "channels":
+        per_stream = max(L, args.samples // args.channels)
+    B = max(1, per_stream // L)
     N = B * L
+    total_samples = N * (args.channels if args.mode == "channels" else 1)
     rs = RationalResampler(fs, 48000)
     assert N % rs.Q == 0
 
@@ -116,6 +122,42 @@ def main() -> int:
             )
 
         metric = "mix_resample_chain_pallas_i16_samples_per_s_chip"
+    elif args.mode == "channels":
+        # BASELINE config 4: N TLE-tracked channels from one wideband capture,
+        # batched (C, B, L) mix + shared resample. Metric counts input samples
+        # × channels (each channel performs the full per-sample chain).
+        C = args.channels
+        plans_c = []
+        for c in range(C):
+            pc = plan_blocks(
+                [9000.0 + 120.0 * c - 0.01 * k for k in range(B)],
+                [L] * B, fs, NCOState(), L,
+            )
+            plans_c.append(pc)
+        stack = lambda f: jax.device_put(  # noqa: E731
+            jnp.asarray(np.stack([getattr(p, f) for p in plans_c]))
+        )
+        plan_arrs = [stack(f) for f in ("d_hi", "d_lo", "c1_hi", "c1_lo",
+                                        "c2_hi", "c2_lo", "t")]
+
+        # lax.map over channels: each per-channel pass stays inside XLA's
+        # fusion budget (a batched einsum at C=16 materializes the windows
+        # tensor and falls off the roofline)
+        @jax.jit
+        def step(data, *plan):
+            def one_channel(plan_c):
+                i, q = codec.i16_words_to_iq(data)
+                i, q = nco.mix_blocks(i, q, *plan_c)
+                i = jnp.concatenate([jnp.zeros(H, jnp.float32), i.reshape(-1)])
+                q = jnp.concatenate([jnp.zeros(H, jnp.float32), q.reshape(-1)])
+                yi, yq = resample_conv_block(
+                    i, q, taps_mat, P=rs.P, Q=rs.Q, T=rs.T
+                )
+                return codec.iq_to_i16_words(yi, yq)
+
+            return jax.lax.map(one_channel, tuple(plan))
+
+        metric = f"channels{C}_mix_resample_i16_samples_per_s_chip"
     else:
 
         @jax.jit
@@ -150,9 +192,9 @@ def main() -> int:
             out.block_until_ready()
             times.append(time.perf_counter() - t0)
     best = min(times)
-    rate = N / best
+    rate = total_samples / best
     print(
-        f"bench {metric}: {N} samples in {best*1e3:.2f} ms "
+        f"bench {metric}: {total_samples} samples in {best*1e3:.2f} ms "
         f"(median {np.median(times)*1e3:.2f} ms) over {args.iters} iters",
         file=sys.stderr,
     )
