@@ -89,8 +89,9 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
                    help="stream framing block size in bytes (reference: 8192)")
     p.add_argument("--chunk-blocks", type=int, default=256,
                    help="blocks per device dispatch")
-    p.add_argument("--resample-to", type=int, default=None, metavar="RATE",
-                   help="polyphase-resample output to RATE sps after mixing")
+    p.add_argument("--resample-to", type=float, default=None, metavar="RATE",
+                   help="polyphase-resample output to RATE sps after mixing "
+                        "(non-integer rates are rationalized to <1e-9 rel. error)")
     p.add_argument("--exact-ratio", action="store_true",
                    help="use exact rational NCO rate instead of mirroring the "
                         "reference's f32-rounded shift/samplerate ratio")

@@ -69,19 +69,34 @@ class RationalResampler:
     def __init__(
         self,
         in_rate: int,
-        out_rate: int,
+        out_rate: float,
         *,
         taps_per_phase: int | None = None,
         atten_db: float = 70.0,
         channels: int | None = None,
+        max_denominator: int = 1 << 16,
     ):
+        """Non-integer ``out_rate`` is rationalized to within
+        ``1/max_denominator`` relative error (an arbitrary float rate r has
+        |P/Q − r·in| ≤ r·in/max_den² by Stern-Brocot best approximation —
+        sub-µHz for audio-class rates), covering liquid-dsp's arbitrary-rate
+        ``msresamp`` capability with the exact-rational machinery."""
         if in_rate <= 0 or out_rate <= 0:
             raise ValueError("rates must be positive")
-        g = math.gcd(int(in_rate), int(out_rate))
-        self.P = int(out_rate) // g
-        self.Q = int(in_rate) // g
+        if float(out_rate).is_integer():
+            g = math.gcd(int(in_rate), int(out_rate))
+            self.P = int(out_rate) // g
+            self.Q = int(in_rate) // g
+        else:
+            from fractions import Fraction
+
+            frac = Fraction(float(out_rate) / float(in_rate)).limit_denominator(
+                max_denominator
+            )
+            self.P = frac.numerator
+            self.Q = frac.denominator
         self.in_rate = int(in_rate)
-        self.out_rate = int(out_rate)
+        self.out_rate = float(out_rate)
         self.bank = design_polyphase_bank(self.P, self.Q, taps_per_phase, atten_db)
         self.T = self.bank.shape[1]
         self._bank_rev = jnp.asarray(self.bank[:, ::-1].copy())
@@ -233,16 +248,22 @@ def resample_conv_block(xi, xq, taps_mat, *, P: int, Q: int, T: int):
 
     lead = xi.shape[:-1]
     x2 = jnp.stack([xi, xq], axis=-2).reshape(-1, xi.shape[-1])  # (B*·2, H+N)
-    pad = (K + R) * Q - x2.shape[-1]
+    pad = (R + 1) * Q + (K + R) * Q - x2.shape[-1]
     x2 = jnp.pad(x2, ((0, 0), (0, max(0, pad))))
     G = x2[:, : (K + R) * Q].reshape(-1, K + R, Q)
-    W = jnp.concatenate([G[:, r : r + K, :] for r in range(R + 1)], axis=-1)
-    W = W[..., :w_len]                                            # (B*·2, K, w_len)
-    y = jnp.einsum(
-        "bkw,wp->bkp", W, taps_mat,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )                                                             # (B*·2, K, P)
+    # Banded matmul as Σ_r (shifted rows) @ (taps slice): never materializes
+    # the (K, w_len) windows tensor — the naive einsum form writes+reads a
+    # tensor Q× the input and falls far off the HBM roofline.
+    taps_pad = jnp.pad(taps_mat, ((0, (R + 1) * Q - w_len), (0, 0)))
+    y = None
+    for r in range(R + 1):
+        term = jax.lax.dot_general(
+            G[:, r : r + K, :], taps_pad[r * Q : (r + 1) * Q],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                                        # (B*·2, K, P)
+        y = term if y is None else y + term
     y = y.reshape(*lead, 2, K * P)
     return y[..., 0, :], y[..., 1, :]
 

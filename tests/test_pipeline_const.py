@@ -144,3 +144,19 @@ def test_pipeline_pallas_chain_matches_xla(tmp_path):
     xa = np.frombuffer(a, dtype="<i2").astype(np.int32)
     xb = np.frombuffer(b, dtype="<i2").astype(np.int32)
     assert np.abs(xa - xb).max() <= 1
+
+
+def test_cli_outtype_defaults_to_intype():
+    """usage.rs:268-270: omitted -o means outtype = intype."""
+    buf, x = make_i16_stream(1024)
+    proc = subprocess.run(
+        [sys.executable, "-m", "doppler_tpu", "const",
+         "-s", str(FS), "-i", "i16", "--shift", "0",
+         "--platform", "cpu", "--chunk-blocks", "2"],
+        input=buf, stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    assert len(proc.stdout) == len(buf)          # still i16 (4 B/sample)
+    got = oracle.decode_i16_bytes(proc.stdout)
+    want = oracle.decode_i16_bytes(oracle.encode_i16_bytes(x))
+    np.testing.assert_array_equal(got, want)      # zero shift: roundtrip only

@@ -165,3 +165,17 @@ def test_fast_path_matches_oracle():
     want = resample_oracle(x, rs.P, rs.Q, rs.bank)
     assert got.shape == want.shape
     assert np.abs(got - want).max() < 1e-6
+
+
+def test_arbitrary_float_rate():
+    """Non-integer target rates rationalize to sub-µHz accuracy (the
+    liquid-dsp arbitrary-rate msresamp capability)."""
+    rs = RationalResampler(1024000, 48000.5)
+    assert abs(rs.P / rs.Q * 1024000 - 48000.5) < 1e-3
+    x = (RNG.normal(size=20000) + 1j * RNG.normal(size=20000)).astype(np.complex64)
+    y = run_streaming(rs, x, 8192)
+    # rate check: outputs per input
+    assert abs(len(y) / 20000 - 48000.5 / 1024000) < 1e-4
+
+    rs2 = RationalResampler(1024000, 1024000 / 3.0)   # irrational-ish ratio
+    assert abs(rs2.P / rs2.Q - 1 / 3.0) < 1e-9

@@ -177,3 +177,19 @@ def test_cli_track_realtime_no_time(tmp_path):
     assert len(proc.stdout) == len(raw)
     # output actually shifted (non-zero doppler at UHF for a moving LEO)
     assert proc.stdout != raw
+
+
+def test_scheduler_native_equals_python(predictor):
+    """TrackScheduler shifts must be identical whichever SGP4 backend the
+    Predictor picked (C++ auto vs forced-Python)."""
+    from doppler_tpu.orbit import Observer, Predictor as Pred, Tle
+
+    pred_py = Pred(Tle.from_lines("TEST SAT", L1, L2),
+                   Observer(58.26541, 26.46667, 76.0), use_native=False)
+    counts = [2048] * 300
+    a = TrackScheduler(predictor, FREQ, OFFSET, FS, START_UNIX,
+                       telemetry=False).shifts(counts)
+    b = TrackScheduler(pred_py, FREQ, OFFSET, FS, START_UNIX,
+                       telemetry=False).shifts(counts)
+    # identical after the reference's f32 rounding of the doppler value
+    assert list(a) == list(b)
