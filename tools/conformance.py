@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Conformance harness: run the BASELINE eval configs against the oracle.
+
+Exercises the CPU-runnable baseline configs end-to-end through the real CLI
+surface (subprocess, bytes in → bytes out) and scores each against the
+bit-faithful NumPy model of the reference binary (``doppler_tpu.oracle``).
+
+    python tools/conformance.py            # runs configs 1-3 + extras
+
+Configs (BASELINE.md):
+  1. const −15 kHz @ 256 ksps, f32 → i16
+  2. track: recorded overpass, 256 ksps i16, TLE + 5 kHz offset
+     (the classic Spacetrack test TLE stands in for ESTCube-1 — no network)
+  3. track + resample 1.024 Msps → 48 ksps
+  4. 16-channel batch (channel outputs vs per-channel single runs)
+
+Pass bar: > 60 dB SNR vs the golden model after i16 quantization (the
+reference's own f32 phase noise sits well below this).
+"""
+
+import io
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from doppler_tpu import oracle  # noqa: E402
+from doppler_tpu.orbit import Observer, Predictor, Tle  # noqa: E402
+from doppler_tpu.orbit.tle import _checksum  # noqa: E402
+
+FS2 = 256000
+FS3 = 1024000
+FREQ = 437505000.0
+
+
+def fix(line):
+    line = line.ljust(68)[:68]
+    return line + str(_checksum(line))
+
+
+L1 = fix("1 88888U          80275.98708465  .00073094  13844-3  66816-4 0    8")
+L2 = fix("2 88888  72.8435 115.9689 0086731  52.6988 110.5714 16.05824518  105")
+START_UNIX = (2444514.48708465 - 2440587.5) * 86400.0 + 3600.0
+LOCATION = "lat=58.26541,lon=26.46667,alt=76"
+
+
+def run_cli(args_list, data):
+    proc = subprocess.run(
+        [sys.executable, "-m", "doppler_tpu"] + args_list + ["--platform", "cpu"],
+        input=data, stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr.decode()[-2000:])
+    return proc.stdout
+
+
+def reference_track_shifts(block_counts, fs, offset):
+    pred = Predictor(Tle.from_lines("TEST SAT", L1, L2),
+                     Observer(58.26541, 26.46667, 76.0))
+    sample_count, dt, out = 0, 0, []
+    for count in block_counts:
+        dop, _ = pred.doppler_hz(float(int(START_UNIX)) + dt, FREQ)
+        out.append(float(np.float32(dop) + np.float32(offset)))
+        dt = int(np.float32(np.float32(sample_count) / np.float32(fs)))
+        sample_count += count
+    return out
+
+
+def sequential_mix(xq, shifts, fs, block):
+    out = np.empty_like(xq)
+    sn = 0
+    for k, s in enumerate(shifts):
+        seg = xq[k * block:(k + 1) * block]
+        mixed, sn = oracle.shift_frequency_oracle(seg, sn, s, fs)
+        out[k * block:(k + 1) * block] = mixed
+    return out
+
+
+def config1():
+    rng = np.random.default_rng(1)
+    n = 65536
+    x = (0.3 * (rng.normal(size=n) + 1j * rng.normal(size=n))).astype(np.complex64)
+    got = run_cli(["const", "-s", str(FS2), "-i", "f32", "-o", "i16",
+                   "--shift", "-15000"], oracle.encode_f32_bytes(x))
+    want, _ = oracle.shift_frequency_oracle(x, 0, -15000.0, FS2)
+    want_b = oracle.encode_i16_bytes(want)
+    snr = oracle.snr_db(oracle.decode_i16_bytes(want_b), oracle.decode_i16_bytes(got))
+    return "const -15kHz f32→i16", snr, len(got) == len(want_b)
+
+
+def config2(tmp):
+    tlef = os.path.join(tmp, "sat.txt")
+    with open(tlef, "w") as f:
+        f.write(f"TEST SAT\n{L1}\n{L2}\n")
+    rng = np.random.default_rng(2)
+    blocks = 300
+    n = 2048 * blocks
+    raw = rng.integers(-9000, 9000, size=2 * n, dtype=np.int16).astype("<i2").tobytes()
+    start = time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(START_UNIX))
+    got = run_cli(["track", "-s", str(FS2), "-i", "i16",
+                   "--tlefile", tlef, "--tlename", "TEST SAT",
+                   "--location", LOCATION, "--frequency", str(int(FREQ)),
+                   "--offset", "5000", "--time", start], raw)
+    xq = oracle.decode_i16_bytes(raw)
+    shifts = reference_track_shifts([2048] * blocks, FS2, 5000.0)
+    want = sequential_mix(xq, shifts, FS2, 2048)
+    want_b = oracle.encode_i16_bytes(want)
+    snr = oracle.snr_db(oracle.decode_i16_bytes(want_b), oracle.decode_i16_bytes(got))
+    return "track TLE+5kHz 256k i16 (2.4 s)", snr, len(got) == len(want_b)
+
+
+def config3(tmp):
+    tlef = os.path.join(tmp, "sat.txt")
+    with open(tlef, "w") as f:
+        f.write(f"TEST SAT\n{L1}\n{L2}\n")
+    rng = np.random.default_rng(3)
+    blocks = 512
+    n = 2048 * blocks
+    raw = rng.integers(-9000, 9000, size=2 * n, dtype=np.int16).astype("<i2").tobytes()
+    start = time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(START_UNIX))
+    got = run_cli(["track", "-s", str(FS3), "-i", "i16",
+                   "--tlefile", tlef, "--tlename", "TEST SAT",
+                   "--location", LOCATION, "--frequency", str(int(FREQ)),
+                   "--offset", "5000", "--time", start,
+                   "--resample-to", "48000"], raw)
+    # golden: sequential mix then the resampler oracle
+    from doppler_tpu.ops.resample import RationalResampler, resample_oracle
+
+    xq = oracle.decode_i16_bytes(raw)
+    shifts = reference_track_shifts([2048] * blocks, FS3, 5000.0)
+    mixed = sequential_mix(xq, shifts, FS3, 2048)
+    rs = RationalResampler(FS3, 48000)
+    want = resample_oracle(mixed, rs.P, rs.Q, rs.bank).astype(np.complex64)
+    want_b = oracle.encode_i16_bytes(want)
+    got_c = oracle.decode_i16_bytes(got)
+    want_c = oracle.decode_i16_bytes(want_b)
+    m = min(len(got_c), len(want_c))
+    snr = oracle.snr_db(want_c[:m], got_c[:m])
+    return "track+resample 1.024M→48k", snr, abs(len(got_c) - len(want_c)) <= 1
+
+
+def config4(tmp):
+    rng = np.random.default_rng(4)
+    n = 8192 * 8
+    raw = rng.integers(-9000, 9000, size=2 * n, dtype=np.int16).astype("<i2").tobytes()
+    cfg = {"channels": [
+        {"name": f"ch{k}", "shift": -40000 + 10000 * k, "center_offset": 1000.0 * k}
+        for k in range(16)
+    ]}
+    cfgf = os.path.join(tmp, "ch.json")
+    with open(cfgf, "w") as f:
+        json.dump(cfg, f)
+    outdir = os.path.join(tmp, "out")
+    run_cli(["channels", "-s", str(FS3), "-i", "i16", "--config", cfgf,
+             "--output-dir", outdir], raw)
+    worst = float("inf")
+    for k in range(16):
+        got = oracle.decode_i16_bytes(
+            open(os.path.join(outdir, f"ch{k}.iq"), "rb").read())
+        shift = float(np.float32(np.float32(-40000 + 10000 * k))
+                      + np.float32(1000.0 * k))
+        want, _ = oracle.shift_frequency_oracle(
+            oracle.decode_i16_bytes(raw), 0, shift, FS3)
+        want = oracle.decode_i16_bytes(oracle.encode_i16_bytes(want))
+        worst = min(worst, oracle.snr_db(want, got))
+    return "16-channel batch (worst channel)", worst, True
+
+
+def main():
+    results = []
+    with tempfile.TemporaryDirectory() as tmp:
+        for fn in (config1, lambda: config2(tmp), lambda: config3(tmp),
+                   lambda: config4(tmp)):
+            name, snr, size_ok = fn() if fn is config1 else fn()
+            ok = snr > 60.0 and size_ok
+            results.append((name, snr, ok))
+            print(f"{'PASS' if ok else 'FAIL'}  {name:<42} SNR {snr:7.1f} dB",
+                  file=sys.stderr)
+    all_ok = all(r[2] for r in results)
+    print(json.dumps({
+        "conformance": "pass" if all_ok else "fail",
+        "configs": [{"name": n, "snr_db": round(s, 1), "ok": o}
+                    for n, s, o in results],
+    }))
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
