@@ -98,6 +98,10 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--impl", choices=["xla", "pallas"], default="xla",
                    help="mixer kernel implementation (pallas: fused TPU "
                         "kernel; i16-to-i16 without resampling)")
+    p.add_argument("--drain", action="store_true",
+                   help="flush the resampler FIR tail with zeros at EOF")
+    p.add_argument("--log-format", choices=["fern", "json"], default="fern",
+                   help="stderr telemetry format")
     p.add_argument("--platform", choices=["cpu", "tpu", "default"],
                    default="default", help="JAX platform override")
     p.add_argument("--log-level", default="info",
@@ -171,7 +175,8 @@ def main(argv=None, stdin=None, stdout=None) -> int:
     except SystemExit as e:
         return int(e.code or 0)
 
-    log = setup_logger(getattr(logging, args.log_level.upper()))
+    log = setup_logger(getattr(logging, args.log_level.upper()),
+                       fmt=getattr(args, "log_format", "fern"))
     _select_platform(args.platform)
 
     outtype = args.outtype or args.intype
@@ -276,6 +281,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         chunk_blocks=args.chunk_blocks,
         quantize_ratio_f32=not args.exact_ratio,
         impl=args.impl,
+        drain_on_eof=args.drain,
     )
     if args.resample_to is not None:
         from doppler_tpu.ops.resample import attach_resampler

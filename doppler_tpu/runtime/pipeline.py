@@ -104,6 +104,7 @@ class Pipeline:
         flush_every_chunk: bool = True,
         impl: str = "xla",
         pallas_interpret: bool = False,
+        drain_on_eof: bool = False,
     ):
         if samplerate <= 0:
             raise ValueError("samplerate must be positive")
@@ -120,6 +121,7 @@ class Pipeline:
             raise ValueError(f"impl must be 'xla' or 'pallas', got {impl!r}")
         self.impl = impl
         self.pallas_interpret = pallas_interpret  # CPU testing of pallas paths
+        self.drain_on_eof = drain_on_eof  # flush the FIR tail with zeros at EOF
         self.nco_state = NCOState()   # the stream's entire resumable DSP state
 
         self._bps_in = streaming.bytes_per_sample(intype)
@@ -314,5 +316,28 @@ class Pipeline:
             if chunk.eof:
                 break
         emit(pending, *pending_meta)
+        if self.resampler is not None and self.drain_on_eof:
+            out_bytes = self._drain()
+            if out_bytes:
+                fout.write(out_bytes)
+                counters.add(
+                    samples=len(out_bytes) // self._bps_out,
+                    bytes_in=0, bytes_out=len(out_bytes), blocks=0,
+                )
         fout.flush()
         return counters
+
+    def _drain(self) -> bytes:
+        """Flush the resampler's FIR tail by feeding T−1 zero samples —
+        emits the outputs whose windows straddle the end of the stream
+        (the reference ecosystem's liquid-dsp flush semantics)."""
+        rs = self.resampler
+        pad = rs.T - 1
+        if pad <= 0:
+            return b""
+        zeros = np.zeros(pad, dtype=np.float32)
+        yi, yq, n_out = rs.process(zeros, zeros, pad, M=rs.max_out_for(pad))
+        if n_out == 0:
+            return b""
+        enc = _encode_kernel(yi, yq, outtype=self.outtype)
+        return self._stage_out(enc, n_out)

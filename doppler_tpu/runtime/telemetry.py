@@ -30,14 +30,34 @@ class _FernishFormatter(logging.Formatter):
         )
 
 
-def setup_logger(level: int = logging.INFO) -> logging.Logger:
-    """Install the stderr handler once and return the root framework logger."""
+class _JsonFormatter(logging.Formatter):
+    """Structured telemetry: one JSON object per line (SURVEY §5 metrics)."""
+
+    def format(self, record: logging.LogRecord) -> str:
+        import json
+
+        return json.dumps({
+            "ts": round(record.created, 3),
+            "level": record.levelname.lower(),
+            "logger": record.name,
+            "line": record.lineno,
+            "msg": record.getMessage(),
+        })
+
+
+def setup_logger(level: int = logging.INFO, fmt: str = "fern") -> logging.Logger:
+    """Install the stderr handler once and return the root framework logger.
+
+    ``fmt``: ``"fern"`` (the reference's human format, main.rs:212-233) or
+    ``"json"`` (one object per line for log pipelines).
+    """
     logger = logging.getLogger(_LOGGER_NAME)
+    formatter = _JsonFormatter() if fmt == "json" else _FernishFormatter()
     if not logger.handlers:
         handler = logging.StreamHandler(sys.stderr)
-        handler.setFormatter(_FernishFormatter())
         logger.addHandler(handler)
         logger.propagate = False
+    logger.handlers[0].setFormatter(formatter)
     logger.setLevel(level)
     return logger
 

@@ -89,3 +89,39 @@ def test_restore_rejects_mismatched_config(tmp_path):
     # checkpoint without resampler state into pipeline with resampler:
     # allowed only if fresh; restore succeeds because has_resampler=False
     checkpoint.restore(ckpt, p_needs)
+
+
+def test_resume_track_mode_bitwise(tmp_path):
+    """Track-mode resume: scheduler staircase state (sample_count/dt) must
+    restore so the resumed run continues the same Doppler curve bitwise."""
+    from doppler_tpu.orbit import Observer, Predictor, Tle, TrackScheduler
+    from doppler_tpu.orbit.tle import _checksum
+
+    def fx(line):
+        line = line.ljust(68)[:68]
+        return line + str(_checksum(line))
+
+    L1 = fx("1 88888U          80275.98708465  .00073094  13844-3  66816-4 0    8")
+    L2 = fx("2 88888  72.8435 115.9689 0086731  52.6988 110.5714 16.05824518  105")
+    start = (2444514.48708465 - 2440587.5) * 86400.0 + 3600.0
+
+    def mk():
+        pred = Predictor(Tle.from_lines("T", L1, L2),
+                         Observer(58.26541, 26.46667, 76.0))
+        sched = TrackScheduler(pred, 437505000.0, 5000.0, FS, start,
+                               telemetry=False)
+        return Pipeline(FS, "i16", "i16", sched, chunk_blocks=8)
+
+    n = 2048 * 280  # > 2 staircase steps
+    buf = _stream(n)
+    whole = _run(mk(), buf)
+
+    cut = 2048 * 140 * 4
+    p1 = mk()
+    first = _run(p1, buf[:cut])
+    ckpt = str(tmp_path / "trk.npz")
+    checkpoint.save(ckpt, p1)
+    p2 = mk()
+    checkpoint.restore(ckpt, p2)
+    second = _run(p2, buf[cut:])
+    assert first + second == whole

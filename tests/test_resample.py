@@ -179,3 +179,29 @@ def test_arbitrary_float_rate():
 
     rs2 = RationalResampler(1024000, 1024000 / 3.0)   # irrational-ish ratio
     assert abs(rs2.P / rs2.Q - 1 / 3.0) < 1e-9
+
+
+def test_pipeline_drain_on_eof():
+    """--drain flushes the FIR tail: total outputs ≈ ceil((n+T−1)·P/Q)."""
+    fs_in, fs_out = 1024000, 48000
+    n = 65536
+    x = (0.3 * (RNG.normal(size=n) + 1j * RNG.normal(size=n))).astype(np.complex64)
+    buf = ref_oracle.encode_f32_bytes(x)
+
+    def run(drain):
+        pipe = Pipeline(fs_in, "f32", "i16", ConstScheduler(0.0),
+                        chunk_blocks=4, drain_on_eof=drain)
+        from doppler_tpu.ops.resample import attach_resampler
+
+        attach_resampler(pipe, fs_out)
+        out = io.BytesIO()
+        pipe.run(io.BytesIO(buf), out)
+        return out.getvalue()
+
+    plain = run(False)
+    drained = run(True)
+    rs = RationalResampler(fs_in, fs_out)
+    extra = len(drained) // 4 - len(plain) // 4
+    assert 0 < extra <= (rs.T - 1) * rs.P // rs.Q + 1
+    # drained output must extend (not alter) the undrained prefix
+    assert drained[: len(plain)] == plain
