@@ -68,6 +68,17 @@ class BlockPlan:
         z = lambda: np.zeros(n, dtype=np.uint32)  # noqa: E731
         return cls(z(), z(), z(), z(), z(), z(), z())
 
+    @classmethod
+    def from_rows(cls, rows: list) -> "BlockPlan":
+        """rows: [(d, c1, c2, t), ...] python ints → bulk uint32 arrays."""
+        m = 0xFFFFFFFF
+        arr = np.array(
+            [(d >> 32, d & m, c1 >> 32, c1 & m, c2 >> 32, c2 & m, t)
+             for d, c1, c2, t in rows],
+            dtype=np.uint64,
+        ).astype(np.uint32).reshape(-1, 7)
+        return cls(*(arr[:, i].copy() for i in range(7)))
+
     def set(self, k: int, d: int, c1: int, c2: int, t: int) -> None:
         self.d_hi[k], self.d_lo[k] = fxp.split_u64(d)
         self.c1_hi[k], self.c1_lo[k] = fxp.split_u64(c1)
@@ -125,6 +136,25 @@ def _state_after_run(r32: np.float32, v: int, count: int) -> int:
     return v % (1 << 32)
 
 
+def _exact_only_bound(r32: np.float32, q: int) -> float:
+    """Largest |r·n| below which only *exact* resets can fire.
+
+    With r = p/q exactly (f32 values are dyadic rationals), non-multiples of
+    q sit ≥ 1/q from the integers, so a rounding reset needs
+    ulp(r·n)/2 ≥ 1/q ⟺ |r·n| ≳ 2^23/q.  Stay a factor 2 under.
+    """
+    return (1 << 22) / q
+
+
+def _state_after_run_exact(m0: int, count: int, q: int) -> int:
+    """Closed-form counter evolution when every reset is exact-periodic."""
+    j0 = (-m0) % q          # first local index whose counter is ≡ 0 (mod q)
+    if j0 >= count:
+        return (m0 + count) % (1 << 32)
+    rem = count - 1 - j0
+    return rem % q + 1
+
+
 def plan_blocks(
     shifts_hz: Sequence[float],
     counts: Sequence[int],
@@ -134,34 +164,70 @@ def plan_blocks(
     *,
     quantize_f32: bool = True,
     reset_quirk: bool = True,
+    fast_path: bool = True,
 ) -> BlockPlan:
     """Compile per-block shifts + the running samplenum into kernel constants.
 
     ``counts[k]`` is the true sample count of block k (≤ block_len; only the
     final block may be short).  Advances ``state`` in place.
+
+    Host cost: O(1) per block in the exact-reset regime (resets land only on
+    true multiples of the ratio's dyadic period q, which are phase-preserving
+    — the plan uses the absolute-index phase with no segment switch and the
+    counter advances in closed form).  Only blocks where a *rounding* reset
+    could fire (|r·n| ≳ 2^22/q, or huge-q ratios) pay the O(count) f32 mask
+    scan that mirrors the reference bit-for-bit.
     """
-    B = len(counts)
-    plan = BlockPlan.zeros(B)
-    for k, (s_hz, count) in enumerate(zip(shifts_hz, counts)):
-        d = fxp.rate_to_q64(s_hz, samplerate, quantize_f32=quantize_f32)
+    rows: list = []
+    period_cache: dict[float, int | None] = {}
+    rate_cache: dict[float, tuple[int, np.float32]] = {}
+    for s_hz, count in zip(shifts_hz, counts):
+        skey = float(s_hz)
+        if skey not in rate_cache:
+            rate_cache[skey] = (
+                fxp.rate_to_q64(s_hz, samplerate, quantize_f32=quantize_f32),
+                _ratio_f32(s_hz, samplerate),
+            )
+        d, r32_cached = rate_cache[skey]
         if not reset_quirk:
-            c1 = fxp.mul64_mod(state.abs_offset, d)
-            plan.set(k, d, c1, c1, block_len)
+            c1 = (state.abs_offset * d) % (1 << 64)
+            rows.append((d, c1, c1, block_len))
             state.abs_offset += count
             state.samplenum = state.abs_offset
             continue
 
-        r32 = _ratio_f32(s_hz, samplerate)
+        r32 = r32_cached
         m0 = state.samplenum
-        c1 = fxp.mul64_mod(m0, d)
+
+        if fast_path:
+            key = float(r32)
+            if key not in period_cache:
+                period_cache[key] = _exact_period(r32)
+            q = period_cache[key]
+            n_hi = m0 + count
+            if (
+                q is not None
+                and q <= (1 << 20)
+                and n_hi <= (1 << 24)
+                and abs(float(r32)) * n_hi < _exact_only_bound(r32, q)
+            ):
+                # exact-only regime: resets are phase-preserving, so the
+                # absolute counter phase is faithful with no segment switch
+                c1 = (m0 * d) % (1 << 64)
+                rows.append((d, c1, c1, block_len))
+                state.samplenum = _state_after_run_exact(m0, count, q)
+                state.abs_offset += count
+                continue
+
+        c1 = (m0 * d) % (1 << 64)
         j0 = _first_reset(r32, m0, count)
         if j0 is None:
-            plan.set(k, d, c1, c1, block_len)
+            rows.append((d, c1, c1, block_len))
         else:
             # segment 2: samplenum restarts at 1 for local index j0+1,
             # i.e. n_eff(j) = j - j0  →  C2 = (−j0 · D) mod 2^64
-            c2 = fxp.mul64_mod(-j0, d)
-            plan.set(k, d, c1, c2, j0 + 1)
+            c2 = (-j0 * d) % (1 << 64)
+            rows.append((d, c1, c2, j0 + 1))
         state.samplenum = _state_after_run(r32, m0, count)
         state.abs_offset += count
-    return plan
+    return BlockPlan.from_rows(rows)

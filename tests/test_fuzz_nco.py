@@ -96,3 +96,36 @@ def test_fuzz_planner_vs_native_reference(trial):
     want = native_reference(x, shifts, counts, fs)
     snr = oracle.snr_db(want, got)
     assert snr > 60.0, (fs, shifts[:2], counts, snr)
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_fast_plan_path_equivalent_to_scan(trial):
+    """The O(1)-per-block exact-regime fast path must agree with the full
+    per-sample mask scan: identical counter state, outputs within 1 ulp."""
+    rng = np.random.default_rng(2000 + trial)
+    fs = int(rng.choice([256000, 1024000]))
+    # dyadic-friendly shifts keep q small → fast path eligible
+    shift = float(rng.integers(-200, 200) * fs / 512)
+    n_blocks = int(rng.integers(2, 8))
+    counts = [2048] * n_blocks
+    shifts = [shift] * n_blocks
+
+    s_fast, s_slow = NCOState(), NCOState()
+    p_fast = plan_blocks(shifts, counts, fs, s_fast, 2048)
+    p_slow = plan_blocks(shifts, counts, fs, s_slow, 2048, fast_path=False)
+    assert s_fast.samplenum == s_slow.samplenum
+
+    n = sum(counts)
+    x = (0.4 * (rng.normal(size=n) + 1j * rng.normal(size=n))).astype(np.complex64)
+
+    def apply(plan):
+        i, q = nco.mix_blocks(
+            jnp.asarray(x.real).reshape(n_blocks, 2048),
+            jnp.asarray(x.imag).reshape(n_blocks, 2048),
+            plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t,
+        )
+        return (np.asarray(i) + 1j * np.asarray(q)).reshape(-1)
+
+    a, b = apply(p_fast), apply(p_slow)
+    assert np.abs(a - b).max() < 3e-7, (fs, shift)
