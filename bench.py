@@ -27,7 +27,11 @@ def main() -> int:
     ap.add_argument(
         "--mode",
         choices=["chain", "chain-pallas", "mix", "mix-pallas", "channels"],
-        default="chain",
+        default="mix-pallas",
+        help="default mix-pallas: the Mosaic kernel compiles in seconds "
+             "through this environment's remote-compile hop, so a cold run "
+             "always produces a result; XLA-graph modes (chain/mix/channels) "
+             "can take 5-10 min to compile the first time",
     )
     ap.add_argument("--channels", type=int, default=16,
                     help="channel count for --mode channels (config 4)")
