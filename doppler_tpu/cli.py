@@ -198,6 +198,13 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         except (OSError, KeyError, ValueError) as e:
             log.error("bad channel config: %s", e)
             return 1
+        for flag, val in (("--impl pallas", args.impl == "pallas"),
+                          ("--drain", args.drain),
+                          ("--save-state", bool(args.save_state)),
+                          ("--load-state", bool(args.load_state))):
+            if val:
+                log.warning("%s is not supported in channels mode (ignored)",
+                            flag)
         log.info("multi-channel mode: %d channels", len(specs))
         for s in specs:
             log.info("\tchannel %-16s center offset %+.0f Hz",

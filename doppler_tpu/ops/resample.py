@@ -248,15 +248,16 @@ def resample_conv_block(xi, xq, taps_mat, *, P: int, Q: int, T: int):
 
     lead = xi.shape[:-1]
     x2 = jnp.stack([xi, xq], axis=-2).reshape(-1, xi.shape[-1])  # (B*·2, H+N)
-    pad = (R + 1) * Q + (K + R) * Q - x2.shape[-1]
+    pad = (K + R) * Q - x2.shape[-1]
     x2 = jnp.pad(x2, ((0, 0), (0, max(0, pad))))
     G = x2[:, : (K + R) * Q].reshape(-1, K + R, Q)
     # Banded matmul as Σ_r (shifted rows) @ (taps slice): never materializes
     # the (K, w_len) windows tensor — the naive einsum form writes+reads a
-    # tensor Q× the input and falls far off the HBM roofline.
-    taps_pad = jnp.pad(taps_mat, ((0, (R + 1) * Q - w_len), (0, 0)))
+    # tensor Q× the input and falls far off the HBM roofline.  R = ⌈w_len/Q⌉
+    # slices cover every window row; anything past them is zero padding.
+    taps_pad = jnp.pad(taps_mat, ((0, R * Q - w_len), (0, 0)))
     y = None
-    for r in range(R + 1):
+    for r in range(R):
         term = jax.lax.dot_general(
             G[:, r : r + K, :], taps_pad[r * Q : (r + 1) * Q],
             dimension_numbers=(((2,), (0,)), ((), ())),
@@ -268,8 +269,8 @@ def resample_conv_block(xi, xq, taps_mat, *, P: int, Q: int, T: int):
     return y[..., 0, :], y[..., 1, :]
 
 
-def attach_resampler(pipe, out_rate: int, **kwargs) -> None:
+def attach_resampler(pipe, out_rate: float, **kwargs) -> None:
     """CLI glue: give a Pipeline a post-mix resampler stage."""
     pipe.set_resampler(
-        RationalResampler(pipe.samplerate, int(out_rate), **kwargs)
+        RationalResampler(pipe.samplerate, out_rate, **kwargs)
     )

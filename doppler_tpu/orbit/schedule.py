@@ -76,28 +76,32 @@ class TrackScheduler:
     def shifts(self, block_counts: Sequence[int]) -> Sequence[float]:
         # Pass 1: integer recurrence — evaluation time per block + telemetry marks.
         eval_dts: list[int] = []
-        telemetry_at: list[tuple[int, int]] = []   # (block idx, dt for log line)
-        for k, count in enumerate(block_counts):
-            eval_dts.append(self.dt)
+        # (display dt for the time line, eval dt whose sat values are printed —
+        # the reference logs the predictor state from update(start + dt_old)
+        # under the freshly-assigned dt's timestamp, main.rs:162-175)
+        telemetry_at: list[tuple[int, int]] = []
+        for count in block_counts:
+            dt_old = self.dt
+            eval_dts.append(dt_old)
             new_dt = self._trunc_dt()
             self.dt = new_dt
             if self.start_time + new_dt - self.last_time >= 5.0:
                 self.last_time = self.start_time + new_dt
-                telemetry_at.append((k, new_dt))
+                telemetry_at.append((new_dt, dt_old))
             self.sample_count += count
 
         # Pass 2: one vectorized SGP4 evaluation over the unique staircase times.
-        uniq = sorted(set(eval_dts) | {dt for _, dt in telemetry_at})
+        uniq = sorted(set(eval_dts))
         times = self.start_time + np.asarray(uniq, dtype=np.float64)
         doppler, obs = self.predictor.doppler_hz(times, self.frequency_hz)
         by_dt = {dt: i for i, dt in enumerate(uniq)}
 
         if self.telemetry:
-            for k, dt in telemetry_at:
+            for show_dt, dt in telemetry_at:
                 i = by_dt[dt]
                 log.info("time                : %s",
                          _time.strftime("%Y-%m-%dT%H:%M:%S+00:00",
-                                        _time.gmtime(self.start_time + dt)))
+                                        _time.gmtime(self.start_time + show_dt)))
                 log.info("az                  : %.2f°", float(obs.az_deg[i]))
                 log.info("el                  : %.2f°", float(obs.el_deg[i]))
                 log.info("range               : %.0f km", float(obs.range_km[i]))

@@ -213,15 +213,23 @@ class Pipeline:
             and mix_outtype == "i16"
             and L % 128 == 0
         )
-        use_pallas_chain = (
-            self.impl == "pallas"
-            and rs is not None
-            and self.intype == "i16"
-            and self.outtype == "i16"
-            and L % 128 == 0
-            and 128 % rs.Q == 0
-        )
-        if use_pallas_chain:
+        if rs is not None and self.impl == "pallas":
+            from doppler_tpu.ops.pallas.chain import carry_rows
+
+            chain_ok = (
+                self.intype == "i16"
+                and self.outtype == "i16"
+                and L % 128 == 0
+                and 128 % rs.Q == 0
+                # FIR history must fit in one block's carry rows
+                and carry_rows(rs.T) <= L // 128
+                # padded tail chunks would poison the carry with zeros;
+                # only the EOF chunk is partial, so this costs nothing
+                and total == B * self.block_samples
+            )
+        else:
+            chain_ok = False
+        if chain_ok:
             from doppler_tpu.ops.pallas.chain import (
                 carry_rows,
                 make_chain_taps,
@@ -229,9 +237,15 @@ class Pipeline:
             )
 
             if getattr(self, "_chain_carry", None) is None:
-                self._chain_carry = jnp.zeros(
-                    (2, carry_rows(rs.T), 128), jnp.float32
-                )
+                # seed the carry from the resampler's FIR history so a
+                # checkpoint-restored pipeline resumes bitwise
+                hbr = carry_rows(rs.T)
+                flat = np.zeros((2, hbr * 128), dtype=np.float32)
+                h = rs.T - 1
+                if h > 0:
+                    flat[0, hbr * 128 - h:] = np.asarray(rs._hist_i)
+                    flat[1, hbr * 128 - h:] = np.asarray(rs._hist_q)
+                self._chain_carry = jnp.asarray(flat.reshape(2, hbr, 128))
             taps = getattr(self, "_chain_taps", None)
             if taps is None:
                 taps = jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q))
@@ -275,6 +289,8 @@ class Pipeline:
             flat[:, 0], flat[:, 1], total,
             M=self.resampler.max_out_for(B * self.block_samples),
         )
+        # any future pallas-chain chunk must reseed its carry from rs history
+        self._chain_carry = None
         enc = _encode_kernel(yi, yq, outtype=self.outtype)
         return (enc, n_out)
 

@@ -160,3 +160,91 @@ def test_cli_outtype_defaults_to_intype():
     got = oracle.decode_i16_bytes(proc.stdout)
     want = oracle.decode_i16_bytes(oracle.encode_i16_bytes(x))
     np.testing.assert_array_equal(got, want)      # zero shift: roundtrip only
+
+
+def test_pallas_chain_falls_back_when_history_exceeds_block():
+    """Q=128 decimation auto-sizes T−1 beyond one 2048-sample block; the
+    pipeline must degrade to the XLA path instead of crashing."""
+    from doppler_tpu.ops.resample import attach_resampler
+
+    fs = 1024000
+    n = 2048 * 10 + 77
+    raw = RNG.integers(-9000, 9000, size=2 * n, dtype=np.int16).astype("<i2").tobytes()
+
+    def run(impl, interpret=False):
+        pipe = Pipeline(fs, "i16", "i16", ConstScheduler(5000.0),
+                        chunk_blocks=4, impl=impl, pallas_interpret=interpret)
+        attach_resampler(pipe, 8000)      # P=1, Q=128 → T−1 > 2048
+        out = io.BytesIO()
+        pipe.run(io.BytesIO(raw), out)
+        return out.getvalue()
+
+    a = run("xla")
+    b = run("pallas", interpret=True)     # must not raise
+    assert a == b                          # same path taken → identical
+
+
+def test_pallas_chain_checkpoint_resume_bitwise(tmp_path):
+    """Resume on the fused pallas-chain path must reseed the FIR carry."""
+    from doppler_tpu.ops.resample import attach_resampler
+    from doppler_tpu.runtime import checkpoint
+
+    fs = 1024000
+    n = 2048 * 32
+    raw = RNG.integers(-9000, 9000, size=2 * n, dtype=np.int16).astype("<i2").tobytes()
+
+    def mk():
+        pipe = Pipeline(fs, "i16", "i16", ConstScheduler(9000.0),
+                        chunk_blocks=8, impl="pallas", pallas_interpret=True)
+        attach_resampler(pipe, 48000)
+        return pipe
+
+    whole = io.BytesIO()
+    mk().run(io.BytesIO(raw), whole)
+
+    cut = 2048 * 16 * 4
+    p1 = mk()
+    first = io.BytesIO()
+    p1.run(io.BytesIO(raw[:cut]), first)
+    ck = str(tmp_path / "pc.npz")
+    checkpoint.save(ck, p1)
+    p2 = mk()
+    checkpoint.restore(ck, p2)
+    second = io.BytesIO()
+    p2.run(io.BytesIO(raw[cut:]), second)
+    assert first.getvalue() + second.getvalue() == whole.getvalue()
+
+
+def test_pallas_chain_drain_after_partial_tail_matches_xla():
+    """EOF-padded chunks must not poison the FIR history used by --drain."""
+    from doppler_tpu.ops.resample import attach_resampler
+
+    fs = 1024000
+    n = 2048 * 5   # 5 blocks in an 8-block chunk → padded tail chunk
+    raw = RNG.integers(-9000, 9000, size=2 * n, dtype=np.int16).astype("<i2").tobytes()
+
+    def run(impl, interpret=False):
+        pipe = Pipeline(fs, "i16", "i16", ConstScheduler(9000.0),
+                        chunk_blocks=8, impl=impl, pallas_interpret=interpret,
+                        drain_on_eof=True)
+        attach_resampler(pipe, 48000)
+        out = io.BytesIO()
+        pipe.run(io.BytesIO(raw), out)
+        return out.getvalue()
+
+    a = run("xla")
+    b = run("pallas", interpret=True)
+    assert len(a) == len(b)
+    xa = np.frombuffer(a, dtype="<i2").astype(np.int32)
+    xb = np.frombuffer(b, dtype="<i2").astype(np.int32)
+    assert np.abs(xa - xb).max() <= 1
+
+
+def test_attach_resampler_keeps_float_rate():
+    from doppler_tpu.ops.resample import attach_resampler
+
+    pipe = Pipeline(1024000, "i16", "i16", ConstScheduler(0.0))
+    attach_resampler(pipe, 11025.5)
+    rs = pipe.resampler
+    assert rs.out_rate == 11025.5
+    assert abs(rs.P / rs.Q * 1024000 - 11025.5) < 1e-3

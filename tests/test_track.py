@@ -193,3 +193,28 @@ def test_scheduler_native_equals_python(predictor):
                        telemetry=False).shifts(counts)
     # identical after the reference's f32 rounding of the doppler value
     assert list(a) == list(b)
+
+
+def test_telemetry_values_use_lagged_eval_time(predictor, caplog):
+    """main.rs:162-175: the telemetry line prints the predictor state from
+    update(start + dt_old) under the freshly-assigned dt's timestamp."""
+    import logging
+    import re
+
+    sched = TrackScheduler(predictor, FREQ, OFFSET, FS, START_UNIX,
+                           telemetry=True)
+    with caplog.at_level(logging.INFO, logger="doppler_tpu.track"):
+        sched.shifts([2048] * 700)   # > 5 s of stream → one telemetry group
+    msgs = [r.getMessage() for r in caplog.records]
+    dop_lines = [m for m in msgs if "doppler@" in m]
+    assert dop_lines
+    logged = float(re.search(r": (-?[\d.]+) Hz", dop_lines[0]).group(1))
+    # the firing block's new_dt is 5; values must come from dt_old = 4
+    want_old, _ = predictor.doppler_hz(START_UNIX + 4.0, FREQ)
+    want_new, _ = predictor.doppler_hz(START_UNIX + 5.0, FREQ)
+    assert abs(logged - float(want_old)) < 0.01
+    assert abs(logged - float(want_new)) > 0.1   # and NOT the new-dt value
+    time_lines = [m for m in msgs if m.startswith("time")]
+    import time as _t
+    want_ts = _t.strftime("%Y-%m-%dT%H:%M:%S", _t.gmtime(START_UNIX + 5.0))
+    assert want_ts in time_lines[0]
