@@ -9,9 +9,10 @@ traffic per input sample, the fused-speed-of-light floor for this chain.
 Status: exactness-first.  Mosaic's dot supports only DEFAULT (single-pass
 bf16, ~1e-3 relative — fails the SNR contract) and HIGHEST (f32 passes) —
 we use HIGHEST, which makes the small per-block matmuls MXU-bound and, in
-this shape, slower than the XLA windows+matmul chain
+this shape, slower than the XLA banded-matmul chain
 (``ops.resample.resample_conv_block``), which remains the production path
-at ~172 GS/s.  This kernel pins the fully-fused single-pass structure
+(see docs/architecture.md for honest measured rates).  This kernel pins the
+fully-fused single-pass structure
 (per-block phase constants in SMEM, carry rows in persistent VMEM scratch)
 for future tuning (wider blocks, bf16 split-taps accumulation).
 

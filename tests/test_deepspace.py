@@ -107,3 +107,22 @@ def test_leo_unaffected_by_deep_path():
     assert not s.deep
     r, v = s.propagate(360.0)
     assert np.linalg.norm(r - np.array([2456.10705566, -6071.93853760, 1222.89727783])) < 0.1
+
+
+def test_gps_class_deep_space_no_resonance():
+    """12h near-circular (GPS-like): deep-space path, but e<0.5 keeps it out
+    of the Molniya resonance (irez=0) — pure lunar-solar secular/periodic."""
+    gps = SGP4(make_tle(55.0000, 120.0, 100000, 30.0, 200.0, 2.00561713))
+    assert gps.deep and gps.ds.irez == 0
+    ts = np.linspace(0.0, 1436.0, 100)
+    r, v = gps.propagate(ts)
+    radius = np.linalg.norm(r, axis=-1)
+    # a ≈ 26560 km, e=0.01 → 26294..26826
+    assert 26100.0 < radius.min() and radius.max() < 27000.0
+    for tmin in [10.0, 717.0]:
+        h = 1e-2
+        r0, _ = gps.propagate(tmin - h)
+        r1, _ = gps.propagate(tmin + h)
+        _, vv = gps.propagate(tmin)
+        fd = (r1 - r0) / (2 * h) / 60.0
+        assert np.abs(fd - vv).max() / np.linalg.norm(vv) < 2e-4
