@@ -89,6 +89,9 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
                    help="stream framing block size in bytes (reference: 8192)")
     p.add_argument("--chunk-blocks", type=int, default=256,
                    help="blocks per device dispatch")
+    p.add_argument("--prefetch-chunks", type=int, default=0, metavar="DEPTH",
+                   help="stage up to DEPTH input chunks on a reader thread "
+                        "(overlaps stdin I/O with device compute; 0 = off)")
     p.add_argument("--resample-to", type=float, default=None, metavar="RATE",
                    help="polyphase-resample output to RATE sps after mixing "
                         "(non-integer rates are rationalized to <1e-9 rel. error)")
@@ -289,6 +292,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         quantize_ratio_f32=not args.exact_ratio,
         impl=args.impl,
         drain_on_eof=args.drain,
+        prefetch_chunks=args.prefetch_chunks,
     )
     if args.resample_to is not None:
         from doppler_tpu.ops.resample import attach_resampler

@@ -44,83 +44,116 @@ def _umulhi32(a, b):
     return hh + (lh >> 16) + (hl >> 16) + (mid >> 16)
 
 
-def _mixer_kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r, t_r,
-                  words_ref, out_ref):
-    b = pl.program_id(0)
-    shape = words_ref.shape          # (1, L // 128, 128) — TPU-tiled view
+def _make_mixer_kernel(W: int):
+    """Mixer kernel over W reference blocks per grid step.
 
-    # ---- decode: one int32 word = one LE i16 IQ pair (dsp.rs:85-99)
-    w = words_ref[...]
-    i = jnp.left_shift(w, 16) >> 16
-    q = w >> 16
-    scale = jnp.float32(1.0 / 32768.0)
-    fi = i.astype(jnp.float32) * scale
-    fq = q.astype(jnp.float32) * scale
+    One grid step DMAs ``W·L·4`` bytes each way (32 KB blocks are far below
+    the HBM DMA sweet spot; W=16 → 512 KB transfers) and unrolls a static
+    per-block loop for the plan scalars, cutting sequential-grid overhead W×.
+    """
 
-    # ---- exact Q0.64 phase: (j·D + C) mod 2^64, top 32 bits
-    j = (
-        jax.lax.broadcasted_iota(jnp.uint32, shape, 1) * jnp.uint32(128)
-        + jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
-    )
-    d_hi = d_hi_r[b]
-    d_lo = d_lo_r[b]
-    jd_lo = j * d_lo
-    jd_hi = _umulhi32(j, d_lo) + j * d_hi
+    def kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r, t_r,
+               words_ref, out_ref):
+        b = pl.program_id(0)
+        S = words_ref.shape[1]           # (W, L // 128, 128) — TPU-tiled view
+        scale = jnp.float32(1.0 / 32768.0)
 
-    def with_offset(c_hi, c_lo):
-        lo = jd_lo + c_lo
-        carry = (lo < jd_lo).astype(jnp.uint32)
-        return jd_hi + c_hi + carry
+        # local sample index within one reference block, (S, 128)
+        j = (
+            jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 0) * jnp.uint32(128)
+            + jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 1)
+        )
 
-    q32_a = with_offset(c1_hi_r[b], c1_lo_r[b])
-    q32_b = with_offset(c2_hi_r[b], c2_lo_r[b])
-    q32 = jnp.where(j < t_r[b], q32_a, q32_b)
+        for wi in range(W):
+            k = b * W + wi
 
-    # Mosaic has no uint32→f32 cast; keep the top 24 bits via int32 — f32
-    # would only retain 24 bits of the Q0.32 phase anyway.
-    q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
-    cycles = q24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
-    theta = jnp.float32(-2.0 * np.pi) * cycles
-    c = jnp.cos(theta)
-    s = jnp.sin(theta)
+            # ---- decode: one int32 word = one LE i16 IQ pair (dsp.rs:85-99)
+            w = words_ref[wi]
+            fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
+            fq = (w >> 16).astype(jnp.float32) * scale
 
-    oi = fi * c - fq * s
-    oq = fi * s + fq * c
+            # ---- exact Q0.64 phase: (j·D + C) mod 2^64, top 32 bits
+            d_hi = d_hi_r[k]
+            d_lo = d_lo_r[k]
+            jd_lo = j * d_lo
+            jd_hi = _umulhi32(j, d_lo) + j * d_hi
 
-    # ---- encode: ×32767, truncate toward zero, saturate, NaN→0 (main.rs:76-84)
-    def enc(v):
-        v = jnp.trunc(v * jnp.float32(32767.0))
-        v = jnp.where(jnp.isnan(v), jnp.float32(0.0), v)
-        v = jnp.clip(v, jnp.float32(-32768.0), jnp.float32(32767.0))
-        return v.astype(jnp.int32)
+            def with_offset(c_hi, c_lo, jd_lo=jd_lo, jd_hi=jd_hi):
+                lo = jd_lo + c_lo
+                carry = (lo < jd_lo).astype(jnp.uint32)
+                return jd_hi + c_hi + carry
 
-    out_ref[...] = (enc(oi) & jnp.int32(0xFFFF)) | jnp.left_shift(enc(oq), 16)
+            q32_a = with_offset(c1_hi_r[k], c1_lo_r[k])
+            q32_b = with_offset(c2_hi_r[k], c2_lo_r[k])
+            q32 = jnp.where(j < t_r[k], q32_a, q32_b)
+
+            # Mosaic has no uint32→f32 cast; keep the top 24 bits via int32 —
+            # f32 would only retain 24 bits of the Q0.32 phase anyway.
+            q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
+            cycles = q24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+            theta = jnp.float32(-2.0 * np.pi) * cycles
+            c = jnp.cos(theta)
+            s = jnp.sin(theta)
+
+            oi = fi * c - fq * s
+            oq = fi * s + fq * c
+
+            # ---- encode: ×32767, truncate toward zero, saturate, NaN→0
+            # (main.rs:76-84)
+            def enc(v):
+                v = jnp.trunc(v * jnp.float32(32767.0))
+                v = jnp.where(jnp.isnan(v), jnp.float32(0.0), v)
+                v = jnp.clip(v, jnp.float32(-32768.0), jnp.float32(32767.0))
+                return v.astype(jnp.int32)
+
+            # per-plane store (jnp.stack of sublane-sliced planes crashes the
+            # Mosaic lowering; indexed stores don't)
+            out_ref[wi] = (
+                (enc(oi) & jnp.int32(0xFFFF)) | jnp.left_shift(enc(oq), 16)
+            )
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pick_blocks_per_step(B: int, L: int) -> int:
+    """Largest W ≤ 16 dividing B with W·L·4 ≤ 2 MB per VMEM buffer."""
+    cap = max(1, (2 << 20) // (L * 4))
+    w = min(16, B, cap)
+    while B % w:
+        w -= 1
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "blocks_per_step"))
 def mix_blocks_pallas(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
-                      *, interpret: bool = False):
+                      *, interpret: bool = False,
+                      blocks_per_step: int | None = None):
     """i16 words ``(B, L)`` + per-block plan ``(B,)`` → mixed i16 words.
 
     Semantically identical to decode → ``nco.mix_blocks`` → encode.
     ``interpret=True`` runs the Pallas interpreter (CPU tests).
+    ``blocks_per_step`` (must divide B) batches W reference blocks per grid
+    step; default auto-picks for ~0.5-2 MB DMA transfers.
     """
     B, L = words.shape
     if L % 128:
         raise ValueError(f"block length {L} must be a multiple of 128")
+    W = blocks_per_step or _pick_blocks_per_step(B, L)
+    if B % W:
+        raise ValueError(f"blocks_per_step {W} must divide block count {B}")
     S = L // 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
-        grid=(B,),
+        grid=(B // W,),
         in_specs=[
-            pl.BlockSpec((1, S, 128), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((W, S, 128), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, S, 128), lambda b, *_: (b, 0, 0),
+        out_specs=pl.BlockSpec((W, S, 128), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _mixer_kernel,
+        _make_mixer_kernel(W),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, S, 128), jnp.int32),
         interpret=interpret,

@@ -105,6 +105,7 @@ class Pipeline:
         impl: str = "xla",
         pallas_interpret: bool = False,
         drain_on_eof: bool = False,
+        prefetch_chunks: int = 0,
     ):
         if samplerate <= 0:
             raise ValueError("samplerate must be positive")
@@ -122,6 +123,7 @@ class Pipeline:
         self.impl = impl
         self.pallas_interpret = pallas_interpret  # CPU testing of pallas paths
         self.drain_on_eof = drain_on_eof  # flush the FIR tail with zeros at EOF
+        self.prefetch_chunks = int(prefetch_chunks)  # staged-read queue depth
         self.nco_state = NCOState()   # the stream's entire resumable DSP state
 
         self._bps_in = streaming.bytes_per_sample(intype)
@@ -302,6 +304,10 @@ class Pipeline:
         a checkpoint taken afterwards resumes exactly (no torn chunks).
         """
         reader = streaming.BlockReader(fin, self.block_bytes)
+        if self.prefetch_chunks > 0:
+            reader = streaming.ChunkPrefetcher(
+                reader, self.chunk_blocks, depth=self.prefetch_chunks
+            )
         counters = Counters()
 
         def emit(pending, bytes_in, blocks):

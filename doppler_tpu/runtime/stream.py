@@ -17,9 +17,17 @@ Doppler staircase (SURVEY §3.2).
 from __future__ import annotations
 
 import io
+import queue
+import threading
 from dataclasses import dataclass
 
-__all__ = ["BlockReader", "Chunk", "REFERENCE_BLOCK_BYTES", "bytes_per_sample"]
+__all__ = [
+    "BlockReader",
+    "Chunk",
+    "ChunkPrefetcher",
+    "REFERENCE_BLOCK_BYTES",
+    "bytes_per_sample",
+]
 
 REFERENCE_BLOCK_BYTES = 8192  # main.rs:49
 
@@ -94,3 +102,51 @@ class BlockReader:
             if eof:
                 break
         return Chunk(b"".join(datas), sizes, eof)
+
+
+class ChunkPrefetcher:
+    """Background-thread chunk reader: overlap stdin I/O with device compute.
+
+    Wraps a :class:`BlockReader` and keeps up to ``depth`` chunks staged in a
+    bounded queue, read by a daemon thread (the ``read()`` syscall releases
+    the GIL, so staging genuinely overlaps host planning and device work —
+    the double-buffered input path of SURVEY §7 "host I/O becoming the
+    bottleneck").  Drop-in for the reader inside :meth:`Pipeline.run`: it
+    exposes the same ``read_chunk`` surface, but the chunk width is fixed at
+    construction (the pipeline always asks for ``chunk_blocks``).
+
+    Reader exceptions are re-raised on the consumer thread at the matching
+    ``read_chunk`` call; the thread always enqueues a final EOF chunk so the
+    consumer terminates.
+    """
+
+    def __init__(self, reader: BlockReader, n_blocks: int, depth: int = 2):
+        if depth <= 0:
+            raise ValueError("depth must be positive")
+        self._reader = reader
+        self.n_blocks = int(n_blocks)
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(target=self._pump, daemon=True)
+        self._thread.start()
+
+    def _pump(self) -> None:
+        while True:
+            try:
+                chunk = self._reader.read_chunk(self.n_blocks)
+            except Exception as e:  # surface on the consumer side
+                self._q.put(e)
+                return
+            self._q.put(chunk)
+            if chunk.eof:
+                return
+
+    def read_chunk(self, n_blocks: int) -> Chunk:
+        if n_blocks != self.n_blocks:
+            raise ValueError(
+                f"prefetcher staged {self.n_blocks}-block chunks, "
+                f"asked for {n_blocks}"
+            )
+        item = self._q.get()
+        if isinstance(item, Exception):
+            raise item
+        return item

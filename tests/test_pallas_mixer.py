@@ -36,6 +36,36 @@ def test_pallas_mixer_matches_xla_path():
     assert np.mean(got == want) > 0.99
 
 
+def test_pallas_mixer_blocks_per_step_equivalence():
+    """Every W dividing B produces identical words (W only regroups DMAs)."""
+    B, L, fs = 4, 1024, 256000
+    words = RNG.integers(-(1 << 31), 1 << 31, size=(B, L), dtype=np.int64).astype(
+        np.int32
+    )
+    plan = plan_blocks([1234.5, -9000.0, 300.0, 0.25], [L] * B, fs, NCOState(), L)
+    arrs = (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t)
+    outs = [
+        np.asarray(mix_blocks_pallas(jnp.asarray(words), *arrs, interpret=True,
+                                     blocks_per_step=w))
+        for w in (1, 2, 4)
+    ]
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[0], outs[2])
+
+
+def test_pallas_mixer_rejects_bad_blocks_per_step():
+    import pytest
+
+    words = np.zeros((4, 256), dtype=np.int32)
+    plan = plan_blocks([0.0] * 4, [256] * 4, 256000, NCOState(), 256)
+    with pytest.raises(ValueError, match="must divide"):
+        mix_blocks_pallas(
+            jnp.asarray(words), plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t, interpret=True, blocks_per_step=3,
+        )
+
+
 def test_pallas_mixer_rejects_unaligned_block():
     import pytest
 

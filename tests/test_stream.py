@@ -63,3 +63,67 @@ def test_read_chunk_exact_boundary_then_empty():
 def test_bytes_per_sample():
     assert stream.bytes_per_sample("i16") == 4
     assert stream.bytes_per_sample("f32") == 8
+
+
+def test_chunk_prefetcher_matches_direct_reads():
+    data = bytes(range(256)) * 100              # 25600 bytes
+    direct = stream.BlockReader(io.BytesIO(data), 1024)
+    want = []
+    while True:
+        c = direct.read_chunk(4)
+        want.append(c)
+        if c.eof:
+            break
+
+    pre = stream.ChunkPrefetcher(
+        stream.BlockReader(Dribble(data, 700), 1024), 4, depth=3
+    )
+    got = []
+    while True:
+        c = pre.read_chunk(4)
+        got.append(c)
+        if c.eof:
+            break
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.data == w.data
+        assert g.block_sizes == w.block_sizes
+        assert g.eof == w.eof
+
+
+def test_chunk_prefetcher_rejects_mismatched_width():
+    import pytest
+
+    pre = stream.ChunkPrefetcher(stream.BlockReader(io.BytesIO(b""), 8), 2)
+    with pytest.raises(ValueError, match="staged 2-block"):
+        pre.read_chunk(3)
+
+
+def test_chunk_prefetcher_propagates_reader_errors():
+    import pytest
+
+    class Boom(io.RawIOBase):
+        def read(self, n=-1):
+            raise OSError("pipe burst")
+
+    pre = stream.ChunkPrefetcher(stream.BlockReader(Boom(), 8), 2)
+    with pytest.raises(OSError, match="pipe burst"):
+        pre.read_chunk(2)
+
+
+def test_pipeline_prefetch_output_identical():
+    import numpy as np
+
+    from doppler_tpu.runtime.pipeline import ConstScheduler, Pipeline
+
+    rng = np.random.default_rng(7)
+    raw = rng.integers(-30000, 30000, size=4096, dtype=np.int16).astype("<i2").tobytes()
+
+    def run(prefetch):
+        pipe = Pipeline(256000, "i16", "i16", ConstScheduler(-15000.0),
+                        chunk_blocks=2, prefetch_chunks=prefetch)
+        out = io.BytesIO()
+        pipe.run(io.BytesIO(raw), out)
+        return out.getvalue()
+
+    assert run(0) == run(3)
