@@ -6,32 +6,31 @@ polyphase reduction runs as MXU matmuls against pre-shifted taps matrices,
 and only the decimated output words return to HBM — ``4 + 4·P/Q`` bytes of
 traffic per input sample, the fused-speed-of-light floor for this chain.
 
-Status: exactness-first.  Mosaic's dot supports only DEFAULT (single-pass
-bf16, ~1e-3 relative — fails the SNR contract) and HIGHEST (f32 passes) —
-we use HIGHEST, which makes the small per-block matmuls MXU-bound and, in
-this shape, slower than the XLA banded-matmul chain
-(``ops.resample.resample_conv_block``), which remains the production path
-(see docs/architecture.md for honest measured rates).  This kernel pins the
-fully-fused single-pass structure
-(per-block phase constants in SMEM, carry rows in persistent VMEM scratch)
-for future tuning (wider blocks, bf16 split-taps accumulation).
+Exactness: Mosaic's dot supports only DEFAULT (single-pass bf16, ~1e-3
+relative — fails the SNR contract) and HIGHEST (f32 passes) — we use
+HIGHEST.  Matmul-granularity matters far more than precision passes here:
+one grid step batches W reference blocks and reduces ALL subgroups, both
+I/Q planes, and all W blocks in R accumulated ``(2·W·L/128, 128) @
+(128, n_sub·PP)`` matmuls — a few hundred large matmuls per chunk instead
+of tens of thousands of ``(64,128)@(128,8)`` ones, which were
+pipeline-startup-bound.
 
 Mosaic-friendly formulation (no lane-crossing reshapes):
 
-- the mixed block keeps its natural ``(L/128, 128)`` row tiling;
+- the mixed blocks keep their natural ``(W·L/128, 128)`` row tiling;
 - the overlap-save carry is the last ``HB/128`` whole rows of the previous
-  block (HB = T−1 rounded up to 128), prepended as rows;
+  grid step (HB = T−1 rounded up to 128), prepended as rows;
 - with ``128 % Q == 0`` there are ``n_sub = 128/Q`` output groups per row;
   subgroup s (lane offset s·Q) gets its own taps matrix, zero-shifted by
-  ``(HB − (T−1)) + s·Q`` rows (host-precomputed,
-  :func:`make_chain_taps`), so every polyphase output is
+  ``(HB − (T−1)) + s·Q`` rows (host-precomputed, :func:`make_chain_taps`),
+  so all subgroups share one LHS and stack as matmul *columns*, and the
+  I/Q planes stack as matmul *rows*:
 
-      Y_s[a, p] = Σ_r  rows[a + r] @ taps_s[128·r : 128·(r+1)]
+      Y[a, s·PP+p] = Σ_r  rows[a + r] @ taps_merged[128·r : 128·(r+1)]
 
-  — static row slices and ``(K_rows, 128) @ (128, P)`` MXU matmuls;
-- the kernel writes subgroup-major outputs ``(n_sub, B, A, P)``; a cheap XLA
-  epilogue interleaves them into stream order (touches only the decimated
-  output, ~P/Q of the input bytes).
+- the kernel writes ``(B/W, A, n_sub·PP)``; a cheap XLA epilogue drops the
+  PP−P pad phases into stream order (touches only the decimated output,
+  ~P/Q of the input bytes).
 
 Cross-block state: the TPU grid runs sequentially
 (``dimension_semantics=("arbitrary",)``), so the carry persists in VMEM
@@ -97,61 +96,70 @@ def make_chain_taps(bank: np.ndarray, P: int, Q: int) -> np.ndarray:
     return out
 
 
-def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP):
-    SL = L // 128                 # mixed rows per block
+def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W):
+    SL = L // 128                 # mixed rows per reference block
+    WSL = W * SL                  # mixed rows per grid step
     HBR = carry_rows(T)           # history rows
     R = taps_rows // 128          # taps slices per subgroup
-    A = L // 128                  # output groups per subgroup per block
-    # subgroup s, group a reads buffer rows a .. a+R−1; max a+R−1 = A−1+R−1
-    SRC_ROWS = HBR + SL
+    A = WSL                       # output groups per subgroup per step
+    CC = n_sub * PP               # merged matmul columns
+    # group a reads buffer rows a .. a+R−1; max needed = A−1+R−1
+    SRC_ROWS = HBR + WSL
     PAD_ROWS = max(0, (A - 1 + R) - SRC_ROWS + 1)
 
     def kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r, t_r,
                words_ref, taps_ref, carry_in_ref, out_ref, carry_out_ref,
                carry_ref):
         b = pl.program_id(0)
-        shape = words_ref.shape        # (1, SL, 128)
 
-        # ---- decode
-        w = words_ref[...]
-        fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * jnp.float32(1 / 32768.0)
-        fq = (w >> 16).astype(jnp.float32) * jnp.float32(1 / 32768.0)
-
-        # ---- exact Q0.64 phase (see ops/pallas/mixer.py)
+        # local sample index within one reference block, (SL, 128)
         j = (
-            jax.lax.broadcasted_iota(jnp.uint32, shape, 1) * jnp.uint32(128)
-            + jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+            jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 0) * jnp.uint32(128)
+            + jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 1)
         )
-        d_hi = d_hi_r[b]
-        d_lo = d_lo_r[b]
-        jd_lo = j * d_lo
-        jd_hi = _umulhi32(j, d_lo) + j * d_hi
+        scale = jnp.float32(1.0 / 32768.0)
 
-        def with_offset(c_hi, c_lo):
-            lo = jd_lo + c_lo
-            carry = (lo < jd_lo).astype(jnp.uint32)
-            return jd_hi + c_hi + carry
+        mis, mqs = [], []
+        for wi in range(W):
+            k = b * W + wi
+            # ---- decode
+            w = words_ref[wi]                   # (SL, 128)
+            fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
+            fq = (w >> 16).astype(jnp.float32) * scale
 
-        q32 = jnp.where(
-            j < t_r[b],
-            with_offset(c1_hi_r[b], c1_lo_r[b]),
-            with_offset(c2_hi_r[b], c2_lo_r[b]),
-        )
-        q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
-        theta = jnp.float32(-2.0 * np.pi) * (
-            q24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
-        )
-        c = jnp.cos(theta)
-        s = jnp.sin(theta)
-        mi = (fi * c - fq * s)[0]              # (SL, 128)
-        mq = (fi * s + fq * c)[0]
+            # ---- exact Q0.64 phase (see ops/pallas/mixer.py)
+            d_hi = d_hi_r[k]
+            d_lo = d_lo_r[k]
+            jd_lo = j * d_lo
+            jd_hi = _umulhi32(j, d_lo) + j * d_hi
+
+            def with_offset(c_hi, c_lo, jd_lo=jd_lo, jd_hi=jd_hi):
+                lo = jd_lo + c_lo
+                carry = (lo < jd_lo).astype(jnp.uint32)
+                return jd_hi + c_hi + carry
+
+            q32 = jnp.where(
+                j < t_r[k],
+                with_offset(c1_hi_r[k], c1_lo_r[k]),
+                with_offset(c2_hi_r[k], c2_lo_r[k]),
+            )
+            q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
+            theta = jnp.float32(-2.0 * np.pi) * (
+                q24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+            )
+            c = jnp.cos(theta)
+            s = jnp.sin(theta)
+            mis.append(fi * c - fq * s)         # (SL, 128)
+            mqs.append(fi * s + fq * c)
+        mi = mis[0] if W == 1 else jnp.concatenate(mis, axis=0)   # (WSL, 128)
+        mq = mqs[0] if W == 1 else jnp.concatenate(mqs, axis=0)
 
         # ---- overlap-save carry (whole rows; streamed in from prior chunk)
         @pl.when(b == 0)
         def _():
             carry_ref[...] = carry_in_ref[...]
 
-        rows_i = jnp.concatenate([carry_ref[0], mi], axis=0)   # (HBR+SL, 128)
+        rows_i = jnp.concatenate([carry_ref[0], mi], axis=0)   # (HBR+WSL, 128)
         rows_q = jnp.concatenate([carry_ref[1], mq], axis=0)
         if PAD_ROWS:
             z = jnp.zeros((PAD_ROWS, 128), jnp.float32)
@@ -160,47 +168,59 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP):
 
         # per-plane writes: jnp.stack of sublane-sliced planes crashes the
         # Mosaic lowering (lower_to_llo "d >> 32" check), indexed stores don't
-        carry_ref[0] = mi[SL - HBR:]
-        carry_ref[1] = mq[SL - HBR:]
-        carry_out_ref[0] = mi[SL - HBR:]       # last grid step's write survives
-        carry_out_ref[1] = mq[SL - HBR:]
+        carry_ref[0] = mi[WSL - HBR:]
+        carry_ref[1] = mq[WSL - HBR:]
+        carry_out_ref[0] = mi[WSL - HBR:]      # last grid step's write survives
+        carry_out_ref[1] = mq[WSL - HBR:]
 
-        # ---- polyphase: per-subgroup accumulated row-slice matmuls
-        for sub in range(n_sub):
-            acc_i = jnp.zeros((A, PP), jnp.float32)
-            acc_q = jnp.zeros((A, PP), jnp.float32)
-            for r in range(R):
-                tap = taps_ref[sub, 128 * r : 128 * (r + 1), :]   # (128, PP)
-                xi_r = rows_i[r : r + A, :]                        # (A, 128)
-                xq_r = rows_q[r : r + A, :]
-                acc_i = acc_i + jnp.dot(
-                    xi_r, tap, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                acc_q = acc_q + jnp.dot(
-                    xq_r, tap, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-
-            # ---- encode (reference saturating trunc semantics)
-            def enc(v):
-                v = jnp.trunc(v * jnp.float32(32767.0))
-                v = jnp.where(jnp.isnan(v), jnp.float32(0.0), v)
-                v = jnp.clip(v, jnp.float32(-32768.0), jnp.float32(32767.0))
-                return v.astype(jnp.int32)
-
-            out_ref[sub, 0, :, :] = (
-                (enc(acc_i) & jnp.int32(0xFFFF)) | jnp.left_shift(enc(acc_q), 16)
+        # ---- polyphase: R accumulated matmuls, I/Q row-stacked and all
+        # subgroups column-stacked — (2A, 128) @ (128, n_sub·PP) per slice.
+        # The per-subgroup window shifts are baked into the taps rows
+        # (make_chain_taps), so every subgroup shares the same LHS.
+        acc = jnp.zeros((2 * A, CC), jnp.float32)
+        for r in range(R):
+            x_r = jnp.concatenate(
+                [rows_i[r : r + A, :], rows_q[r : r + A, :]], axis=0
+            )                                                   # (2A, 128)
+            acc = acc + jnp.dot(
+                x_r, taps_ref[128 * r : 128 * (r + 1), :],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
+
+        # ---- encode (reference saturating trunc semantics)
+        def enc(v):
+            v = jnp.trunc(v * jnp.float32(32767.0))
+            v = jnp.where(jnp.isnan(v), jnp.float32(0.0), v)
+            v = jnp.clip(v, jnp.float32(-32768.0), jnp.float32(32767.0))
+            return v.astype(jnp.int32)
+
+        out_ref[0] = (
+            (enc(acc[:A]) & jnp.int32(0xFFFF))
+            | jnp.left_shift(enc(acc[A:]), 16)
+        )
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("P", "Q", "T", "interpret"))
+def _pick_chain_blocks_per_step(B: int, L: int, T: int) -> int:
+    """Largest W ≤ 16 dividing B with W·L·4 ≤ 2 MB input per grid step and
+    W·L/128 ≥ carry rows (the step must produce its own FIR history)."""
+    cap = max(1, (2 << 20) // (L * 4))
+    w = min(16, B, cap)
+    while w > 1 and (B % w or (w * L) // 128 < carry_rows(T)):
+        w -= 1
+    return w
+
+
+@functools.partial(
+    jax.jit, static_argnames=("P", "Q", "T", "interpret", "blocks_per_step")
+)
 def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
                                      c2_hi, c2_lo, t, chain_taps, carry_in,
                                      *, P: int, Q: int, T: int,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     blocks_per_step: int | None = None):
     """Streaming fused chain.
 
     ``(B, L)`` i16 words + plans ``(B,)`` + :func:`make_chain_taps` output +
@@ -208,6 +228,8 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
 
     Output m of block b has absolute output index ``b·L·P/Q + m`` (absolute
     output 0 ↔ absolute input 0, zero carry at stream start).
+    ``blocks_per_step`` batches W reference blocks per sequential grid step
+    (identical output for any W: grouping only changes matmul/DMA sizes).
     """
     B, L = words.shape
     if L % Q or L % 128:
@@ -217,33 +239,46 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
     if n_sub != 128 // Q:
         raise ValueError("chain_taps does not match Q")
     HBR = carry_rows(T)
-    A = L // 128
-    kernel = _make_kernel(L, P, Q, T, n_sub, taps_rows, PP)
+    W = blocks_per_step or _pick_chain_blocks_per_step(B, L, T)
+    if B % W:
+        raise ValueError(f"blocks_per_step {W} must divide block count {B}")
+    if (W * L) // 128 < HBR:
+        raise ValueError(
+            f"blocks_per_step {W} too small: step must span ≥ {HBR} rows"
+        )
+    SL = L // 128
+    A = W * SL
+    CC = n_sub * PP
+    kernel = _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
-        grid=(B,),
+        grid=(B // W,),
         in_specs=[
-            pl.BlockSpec((1, L // 128, 128), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((W, SL, 128), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_sub, taps_rows, PP), lambda b, *_: (0, 0, 0),
+            pl.BlockSpec((taps_rows, CC), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, HBR, 128), lambda b, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((n_sub, 1, A, PP), lambda b, *_: (0, b, 0, 0),
+            pl.BlockSpec((1, A, CC), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, HBR, 128), lambda b, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((2, HBR, 128), jnp.float32)],
     )
+    # merge subgroups into matmul columns: (n_sub, rows, PP) → (rows, n_sub·PP)
+    taps_merged = jnp.transpose(
+        jnp.asarray(chain_taps), (1, 0, 2)
+    ).reshape(taps_rows, CC)
     out, carry_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_sub, B, A, PP), jnp.int32),
+            jax.ShapeDtypeStruct((B // W, A, CC), jnp.int32),
             jax.ShapeDtypeStruct((2, HBR, 128), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -255,11 +290,11 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
         jnp.asarray(c1_hi, jnp.uint32), jnp.asarray(c1_lo, jnp.uint32),
         jnp.asarray(c2_hi, jnp.uint32), jnp.asarray(c2_lo, jnp.uint32),
         jnp.asarray(t, jnp.uint32),
-        words.reshape(B, L // 128, 128), jnp.asarray(chain_taps),
+        words.reshape(B, SL, 128), taps_merged,
         jnp.asarray(carry_in, jnp.float32),
     )
-    # epilogue: subgroup-major (n_sub, B, A, PP) → stream order (B, A·n_sub·P)
-    out = jnp.transpose(out, (1, 2, 0, 3))[..., :P].reshape(B, M)
+    # epilogue: (B/W, A, n_sub, PP) → keep P real phases → stream order (B, M)
+    out = out.reshape(B // W, A, n_sub, PP)[..., :P].reshape(B, M)
     return out, carry_out
 
 
