@@ -44,11 +44,17 @@ log = get_logger("channels")
 
 @dataclass
 class ChannelSpec:
-    """One channel of a wideband capture."""
+    """One channel of a wideband capture.
+
+    ``out_rate`` overrides the pipeline-wide ``--resample-to`` for this
+    channel (None = use the pipeline default, which may itself be None =
+    no resampling).
+    """
 
     name: str
     scheduler: Scheduler
     center_offset_hz: float = 0.0
+    out_rate: float | None = None
     state: NCOState = field(default_factory=NCOState)
 
 
@@ -104,11 +110,25 @@ class MultiChannelPipeline:
         self._bps_in = streaming.bytes_per_sample(intype)
         self._bps_out = streaming.bytes_per_sample(outtype)
         self.block_samples = self.block_bytes // self._bps_in
+
+        # group channels by effective output rate (per-channel out_rate
+        # overrides the pipeline default); each group gets its own batched
+        # resampler so different rates coexist in one wideband run
+        rates: dict[float | None, list[int]] = {}
+        for idx, ch in enumerate(channels):
+            rate = ch.out_rate if ch.out_rate is not None else out_rate
+            rates.setdefault(rate, []).append(idx)
+        self._groups: list[tuple[list[int], RationalResampler | None]] = [
+            (idxs,
+             RationalResampler(samplerate, rate, channels=len(idxs))
+             if rate is not None else None)
+            for rate, idxs in rates.items()
+        ]
+        # single-rate fast path keeps the historical attribute surface
         self.resampler = (
-            RationalResampler(samplerate, out_rate, channels=len(channels))
-            if out_rate is not None
-            else None
+            self._groups[0][1] if len(self._groups) == 1 else None
         )
+        self._uniform = len(self._groups) == 1
 
     def _plan_all(self, counts):
         C = len(self.channels)
@@ -154,31 +174,44 @@ class MultiChannelPipeline:
             flat[: pairs.shape[0]] = pairs
             staged = flat.reshape(B, L, 2)
 
-        mix_outtype = self.outtype if self.resampler is None else "f32"
+        no_resampling = all(rs is None for _, rs in self._groups)
+        mix_outtype = self.outtype if no_resampling else "f32"
         out = _channels_mix_kernel(
             jnp.asarray(staged),
             *(jnp.asarray(a) for a in fields),
             intype=self.intype, outtype=mix_outtype, C=C,
         )
 
-        if self.resampler is None:
+        def to_bytes(row) -> bytes:
+            if self.outtype == "i16":
+                return codec.i16_words_to_bytes(row)
+            return codec.f32_pairs_to_bytes(row)
+
+        if no_resampling:
             if self.outtype == "i16":
                 flat_out = np.asarray(out).reshape(C, -1)[:, :total]
-                return [codec.i16_words_to_bytes(flat_out[c]) for c in range(C)]
-            flat_out = np.asarray(out).reshape(C, -1, 2)[:, :total]
-            return [codec.f32_pairs_to_bytes(flat_out[c]) for c in range(C)]
+            else:
+                flat_out = np.asarray(out).reshape(C, -1, 2)[:, :total]
+            return [to_bytes(flat_out[c]) for c in range(C)]
 
         planar = out.reshape(C, -1, 2)
-        yi, yq, n_out = self.resampler.process(
-            planar[..., 0], planar[..., 1], total,
-            M=self.resampler.max_out_for(B * L),
-        )
-        enc = _encode_kernel(yi, yq, outtype=self.outtype)
-        if self.outtype == "i16":
+        outs: list[bytes] = [b""] * C
+        for idxs, rs in self._groups:
+            sel = jnp.asarray(idxs)
+            sub_i = jnp.take(planar[..., 0], sel, axis=0)
+            sub_q = jnp.take(planar[..., 1], sel, axis=0)
+            if rs is None:
+                enc = _encode_kernel(sub_i, sub_q, outtype=self.outtype)
+                n_out = total
+            else:
+                yi, yq, n_out = rs.process(
+                    sub_i, sub_q, total, M=rs.max_out_for(B * L)
+                )
+                enc = _encode_kernel(yi, yq, outtype=self.outtype)
             flat_out = np.asarray(enc)[:, :n_out]
-            return [codec.i16_words_to_bytes(flat_out[c]) for c in range(C)]
-        flat_out = np.asarray(enc)[:, :n_out]
-        return [codec.f32_pairs_to_bytes(flat_out[c]) for c in range(C)]
+            for row, cidx in enumerate(idxs):
+                outs[cidx] = to_bytes(flat_out[row])
+        return outs
 
     def run(self, fin, writers) -> Counters:
         """Pump the stream; ``writers`` is one binary file object per channel."""
@@ -216,6 +249,9 @@ def load_channel_config(path: str, samplerate: int):
     specs = []
     for ch in cfg["channels"]:
         center = float(ch.get("center_offset", 0.0))
+        out_rate = ch.get("resample_to")
+        if out_rate is not None:
+            out_rate = float(out_rate)
         if "shift" in ch:
             sched = ConstScheduler(float(ch["shift"]))
         else:
@@ -235,5 +271,6 @@ def load_channel_config(path: str, samplerate: int):
             )
         specs.append(ChannelSpec(
             name=ch["name"], scheduler=sched, center_offset_hz=center,
+            out_rate=out_rate,
         ))
     return specs, cfg

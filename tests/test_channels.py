@@ -130,3 +130,48 @@ def test_cli_channels_bad_config(tmp_path):
     )
     assert proc.returncode == 1
     assert b"bad channel config" in proc.stderr
+
+
+def test_per_channel_resample_rates():
+    """Channels may override the pipeline out_rate; each must match the
+    equivalent single-channel run at its own rate."""
+    n = 8192 * 8
+    buf = wideband(n)
+    specs = [
+        ChannelSpec("deflt", ConstScheduler(9000.0)),             # 48 ksps
+        ChannelSpec("fast", ConstScheduler(-7000.0), out_rate=128000.0),
+        ChannelSpec("raw", ConstScheduler(3000.0), out_rate=None),  # default
+    ]
+    mp = MultiChannelPipeline(FS, "i16", "i16", specs, out_rate=48000,
+                              chunk_blocks=16)
+    outs = [io.BytesIO() for _ in specs]
+    mp.run(io.BytesIO(buf), outs)
+    for got, shift, rate in zip(outs, [9000.0, -7000.0, 3000.0],
+                                [48000, 128000, 48000]):
+        want = single_run(buf, shift, resample=rate)
+        assert len(got.getvalue()) == len(want)
+        a = oracle.decode_i16_bytes(got.getvalue())
+        b = oracle.decode_i16_bytes(want)
+        assert oracle.snr_db(b, a) > 80.0
+
+
+def test_per_channel_resample_mixed_with_unresampled():
+    """A group with out_rate overrides alongside channels with NO resampling
+    at all (pipeline default None)."""
+    n = 8192 * 8
+    buf = wideband(n)
+    specs = [
+        ChannelSpec("plain", ConstScheduler(9000.0)),               # raw rate
+        ChannelSpec("deci", ConstScheduler(-7000.0), out_rate=48000.0),
+    ]
+    mp = MultiChannelPipeline(FS, "i16", "i16", specs, chunk_blocks=16)
+    outs = [io.BytesIO() for _ in specs]
+    mp.run(io.BytesIO(buf), outs)
+
+    want_plain = single_run(buf, 9000.0)
+    lsb_close(outs[0].getvalue(), want_plain)
+    want_deci = single_run(buf, -7000.0, resample=48000)
+    a = oracle.decode_i16_bytes(outs[1].getvalue())
+    b = oracle.decode_i16_bytes(want_deci)
+    assert a.size == b.size
+    assert oracle.snr_db(b, a) > 80.0
