@@ -95,6 +95,11 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resample-to", type=float, default=None, metavar="RATE",
                    help="polyphase-resample output to RATE sps after mixing "
                         "(non-integer rates are rationalized to <1e-9 rel. error)")
+    p.add_argument("--resample-stages", choices=["single", "auto", "multi"],
+                   default="single",
+                   help="resampler structure: single-stage polyphase "
+                        "(default), or a halfband-cascade msresamp-style "
+                        "multi-stage design (auto: used when decimating ≥4x)")
     p.add_argument("--exact-ratio", action="store_true",
                    help="use exact rational NCO rate instead of mirroring the "
                         "reference's f32-rounded shift/samplerate ratio")
@@ -297,7 +302,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
     if args.resample_to is not None:
         from doppler_tpu.ops.resample import attach_resampler
 
-        attach_resampler(pipe, args.resample_to)
+        attach_resampler(pipe, args.resample_to, stages=args.resample_stages)
 
     if args.load_state:
         from doppler_tpu.runtime import checkpoint

@@ -1,0 +1,187 @@
+"""Multi-stage resampler: halfband decimation cascade + final rational stage.
+
+The multi-stage half of liquid-dsp's ``msresamp`` capability (SURVEY §2 #10:
+the reference ecosystem's resampler is multi-stage for large ratios).  A
+single-stage polyphase P/Q prototype needs O(max(P,Q)) taps for a fixed
+transition width, so heavy decimation (1.024 Msps → 48 ksps is 3/64; 10 Msps
+→ 48 ksps is 6/1250) gets expensive in one stage.  The cascade factors the
+decimation into
+
+    halfband ÷2  →  halfband ÷2  →  …  →  rational P/Q' (small Q')
+
+where every halfband only protects the final output band — its transition
+region is most of its Nyquist interval, so it needs ~10-20 taps — and the
+sharp filter runs at the LOWEST rate, where taps are cheap.  (Per-input MAC
+count of the single-stage polyphase dot is already ~attenuation-bound, not
+Q-bound; what the cascade buys is that no stage carries a long filter —
+prototype memory, FIR history/carry state, group delay, and device taps
+matrices stay small for arbitrarily large ratios, where the single-stage
+prototype grows as O(max(P,Q)).)
+
+Each stage is a :class:`~doppler_tpu.ops.resample.RationalResampler`, so
+streaming state, channel batching, Bresenham output alignment, and
+checkpointing all compose; a halfband is just the P=1, Q=2 special case
+whose windowed-sinc prototype (cutoff 0.25) is a true halfband (every other
+tap zero).  The stage count is chosen so the rate entering the final
+rational stage is the smallest power-of-two division of ``in_rate`` that
+still leaves ≥ ``2·out_rate`` (no aliasing into the output band before the
+final filter).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from doppler_tpu.ops.filters import kaiser_beta
+from doppler_tpu.ops.resample import RationalResampler
+
+__all__ = ["MultiStageResampler", "halfband_taps_needed", "make_resampler"]
+
+
+def halfband_taps_needed(stage_rate: float, pass_hz: float,
+                         atten_db: float) -> int:
+    """Kaiser length for a ÷2 halfband protecting ``pass_hz`` at this rate.
+
+    The halfband's stopband must start where post-decimation aliases would
+    fold onto the passband: stopband edge = rate/2 − pass_hz.  Transition
+    Δν = 0.5 − 2·pass_hz/rate of the stage's input rate — wide for early
+    stages, hence short filters.  Odd length keeps the true-halfband
+    structure (center tap ½, even offsets zero).
+    """
+    nu_p = pass_hz / stage_rate
+    dv = 0.5 - 2.0 * nu_p
+    if dv <= 0.0:
+        raise ValueError("halfband passband too wide for a ÷2 stage")
+    n = (max(atten_db, 21.0) - 7.95) / (2.285 * 2.0 * math.pi * dv)
+    n = max(7, int(math.ceil(n)))
+    return n + 1 if n % 2 == 0 else n
+
+
+class MultiStageResampler:
+    """Streaming halfband-cascade resampler over planar IQ chunks.
+
+    Drop-in for :class:`RationalResampler` at the pipeline boundary (same
+    ``process`` / ``out_count_for`` / ``max_out_for`` / ``state_dict``
+    surface).  Decimation-only (``out_rate < in_rate``); pure interpolation
+    or near-unity ratios don't benefit from staging — use the single-stage
+    resampler (:func:`make_resampler` picks automatically).
+    """
+
+    def __init__(
+        self,
+        in_rate: int,
+        out_rate: float,
+        *,
+        atten_db: float = 70.0,
+        channels: int | None = None,
+        max_denominator: int = 1 << 16,
+    ):
+        if out_rate >= in_rate:
+            raise ValueError(
+                "MultiStageResampler is decimation-only; use "
+                "RationalResampler (or make_resampler) for ratios ≥ 1"
+            )
+        self.in_rate = int(in_rate)
+        self.out_rate = float(out_rate)
+        self.channels = channels
+
+        pass_hz = 0.5 * float(out_rate)       # protect the full output band
+        self.stages: list[RationalResampler] = []
+        rate = float(in_rate)
+        # ÷2 while the halved rate still fully contains the output band
+        while rate / 2.0 >= 2.0 * out_rate and float(rate / 2.0).is_integer():
+            taps = halfband_taps_needed(rate, pass_hz, atten_db)
+            self.stages.append(
+                RationalResampler(
+                    int(rate), rate / 2.0,
+                    taps_per_phase=taps, atten_db=atten_db,
+                    channels=channels,
+                )
+            )
+            rate = rate / 2.0
+        self.stages.append(
+            RationalResampler(
+                int(rate), out_rate, atten_db=atten_db, channels=channels,
+                max_denominator=max_denominator,
+            )
+        )
+        fin = self.stages[-1]
+        # overall reduced ratio (info only)
+        g = 1 << (len(self.stages) - 1)
+        self.P = fin.P
+        self.Q = fin.Q * g
+        gg = math.gcd(self.P, self.Q)
+        self.P //= gg
+        self.Q //= gg
+        # input-referred FIR latency: stage s's T−1 history samples live at
+        # its own rate; expressed in input samples for drain/checkpoint sizing
+        self.T = 1 + sum(
+            (st.T - 1) * (self.in_rate // st.in_rate) for st in self.stages
+        )
+
+    # -- pipeline surface ----------------------------------------------------
+
+    def out_count_for(self, n_new_inputs: int) -> int:
+        n = int(n_new_inputs)
+        for st in self.stages:
+            n = st.out_count_for(n)
+        return n
+
+    def max_out_for(self, chunk_capacity: int) -> int:
+        cap = int(chunk_capacity)
+        for st in self.stages:
+            cap = st.max_out_for(cap)
+        return cap
+
+    def process(self, i, q, valid: int, M: int | None = None):
+        """Chain the stages; per-stage capacities derive from the actual
+        array length, so one compilation serves the stream (``M`` is
+        accepted for RationalResampler API compatibility and ignored —
+        outputs are sized by the cascade itself)."""
+        n = int(valid)
+        for st in self.stages:
+            cap = int(np.shape(i)[-1])
+            i, q, n = st.process(i, q, n, st.max_out_for(cap))
+        return i, q, n
+
+    # -- checkpointing ---------------------------------------------------
+
+    def state_dict(self) -> dict:
+        out = {}
+        for k, st in enumerate(self.stages):
+            for key, val in st.state_dict().items():
+                out[f"s{k}_{key}"] = val
+        return out
+
+    def load_state(self, state: dict) -> None:
+        for k, st in enumerate(self.stages):
+            st.load_state({
+                key: state[f"s{k}_{key}"]
+                for key in ("m_next", "in_consumed", "hist_i", "hist_q")
+            })
+
+
+def make_resampler(
+    in_rate: int,
+    out_rate: float,
+    *,
+    stages: str = "single",
+    atten_db: float = 70.0,
+    channels: int | None = None,
+    **kwargs,
+):
+    """Factory: ``stages='single'`` → RationalResampler (bit-stable default);
+    ``'auto'`` → halfband cascade when decimating by ≥ 4 (where it wins);
+    ``'multi'`` → force the cascade."""
+    heavy = float(out_rate) * 4.0 <= float(in_rate)
+    if stages == "multi" or (stages == "auto" and heavy):
+        return MultiStageResampler(
+            in_rate, out_rate, atten_db=atten_db, channels=channels,
+        )
+    if stages not in ("single", "auto"):
+        raise ValueError(f"stages must be single|auto|multi, got {stages!r}")
+    return RationalResampler(
+        in_rate, out_rate, atten_db=atten_db, channels=channels, **kwargs
+    )

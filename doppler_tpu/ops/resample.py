@@ -269,8 +269,15 @@ def resample_conv_block(xi, xq, taps_mat, *, P: int, Q: int, T: int):
     return y[..., 0, :], y[..., 1, :]
 
 
-def attach_resampler(pipe, out_rate: float, **kwargs) -> None:
-    """CLI glue: give a Pipeline a post-mix resampler stage."""
+def attach_resampler(pipe, out_rate: float, *, stages: str = "single",
+                     **kwargs) -> None:
+    """CLI glue: give a Pipeline a post-mix resampler stage.
+
+    ``stages``: 'single' (bit-stable default), 'auto' (halfband cascade for
+    ≥4× decimation), or 'multi' (force the cascade) — see ops.multistage.
+    """
+    from doppler_tpu.ops.multistage import make_resampler
+
     pipe.set_resampler(
-        RationalResampler(pipe.samplerate, out_rate, **kwargs)
+        make_resampler(pipe.samplerate, out_rate, stages=stages, **kwargs)
     )

@@ -57,11 +57,10 @@ def save(path: str, pipe) -> None:
     }
     arrays = {"meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)}
     if pipe.resampler is not None:
-        rstate = pipe.resampler.state_dict()
-        arrays["rs_m_next"] = np.asarray(rstate["m_next"], dtype=np.int64)
-        arrays["rs_in_consumed"] = np.asarray(rstate["in_consumed"], dtype=np.int64)
-        arrays["rs_hist_i"] = rstate["hist_i"]
-        arrays["rs_hist_q"] = rstate["hist_q"]
+        # generic over state_dict keys so single- and multi-stage resamplers
+        # (ops.multistage) both round-trip; integers become 0-d arrays
+        for key, val in pipe.resampler.state_dict().items():
+            arrays[f"rs_{key}"] = np.asarray(val)
     np.savez(path, **arrays)
 
 
@@ -90,10 +89,9 @@ def restore(path: str, pipe) -> dict:
         if meta["has_resampler"]:
             if pipe.resampler is None:
                 raise ValueError("checkpoint has resampler state but pipeline has none")
-            pipe.resampler.load_state({
-                "m_next": int(z["rs_m_next"]),
-                "in_consumed": int(z["rs_in_consumed"]),
-                "hist_i": z["rs_hist_i"],
-                "hist_q": z["rs_hist_q"],
-            })
+            rstate = {
+                name[len("rs_"):]: z[name]
+                for name in z.files if name.startswith("rs_")
+            }
+            pipe.resampler.load_state(rstate)
     return meta

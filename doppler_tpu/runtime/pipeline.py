@@ -219,7 +219,8 @@ class Pipeline:
             from doppler_tpu.ops.pallas.chain import carry_rows
 
             chain_ok = (
-                self.intype == "i16"
+                getattr(rs, "bank", None) is not None  # single-stage only
+                and self.intype == "i16"
                 and self.outtype == "i16"
                 and L % 128 == 0
                 and 128 % rs.Q == 0
