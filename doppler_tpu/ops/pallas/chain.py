@@ -49,7 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from doppler_tpu.ops.pallas.mixer import _umulhi32
+from doppler_tpu.ops.pallas.mixer import _sincos_q24, _umulhi32
 
 __all__ = [
     "make_chain_taps",
@@ -144,11 +144,7 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W):
                 with_offset(c2_hi_r[k], c2_lo_r[k]),
             )
             q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
-            theta = jnp.float32(-2.0 * np.pi) * (
-                q24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
-            )
-            c = jnp.cos(theta)
-            s = jnp.sin(theta)
+            c, s = _sincos_q24(q24)
             mis.append(fi * c - fq * s)         # (SL, 128)
             mqs.append(fi * s + fq * c)
         mi = mis[0] if W == 1 else jnp.concatenate(mis, axis=0)   # (WSL, 128)
@@ -188,10 +184,11 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W):
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        # ---- encode (reference saturating trunc semantics)
+        # ---- encode (reference saturating trunc semantics; the NaN→0
+        # branch is unreachable on this i16-in path — finite mixed samples
+        # through a finite FIR stay finite)
         def enc(v):
             v = jnp.trunc(v * jnp.float32(32767.0))
-            v = jnp.where(jnp.isnan(v), jnp.float32(0.0), v)
             v = jnp.clip(v, jnp.float32(-32768.0), jnp.float32(32767.0))
             return v.astype(jnp.int32)
 
