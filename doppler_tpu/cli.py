@@ -87,8 +87,10 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
     # framework extensions
     p.add_argument("--block-bytes", type=int, default=8192,
                    help="stream framing block size in bytes (reference: 8192)")
-    p.add_argument("--chunk-blocks", type=int, default=256,
-                   help="blocks per device dispatch")
+    p.add_argument("--chunk-blocks", default="256",
+                   help="blocks per device dispatch (int), or 'auto' to "
+                        "target ~64 ms of stream per dispatch for live-SDR "
+                        "latency")
     p.add_argument("--prefetch-chunks", type=int, default=0, metavar="DEPTH",
                    help="stage up to DEPTH input chunks on a reader thread "
                         "(overlaps stdin I/O with device compute; 0 = off)")
@@ -103,9 +105,12 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--exact-ratio", action="store_true",
                    help="use exact rational NCO rate instead of mirroring the "
                         "reference's f32-rounded shift/samplerate ratio")
-    p.add_argument("--impl", choices=["xla", "pallas"], default="xla",
-                   help="mixer kernel implementation (pallas: fused TPU "
-                        "kernel; i16-to-i16 without resampling)")
+    p.add_argument("--impl", choices=["auto", "xla", "pallas"], default="auto",
+                   help="mixer kernel implementation: 'pallas' prefers the "
+                        "fused TPU kernels (falls back to XLA for shapes/"
+                        "dtypes they don't cover), 'xla' forces the XLA "
+                        "graphs, 'auto' (default) = pallas on TPU, xla on "
+                        "CPU")
     p.add_argument("--drain", action="store_true",
                    help="flush the resampler FIR tail with zeros at EOF")
     p.add_argument("--log-format", choices=["fern", "json"], default="fern",
@@ -172,6 +177,30 @@ def _select_platform(platform: str) -> None:
         pass  # image default is the TPU backend
 
 
+def _resolve_impl(impl: str) -> str:
+    """'auto' → fused Pallas kernels on TPU, XLA graphs on CPU."""
+    if impl != "auto":
+        return impl
+    import jax
+
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return "xla"
+    return "xla" if plat == "cpu" else "pallas"
+
+
+def _resolve_chunk_blocks(arg, samplerate: int, block_samples: int) -> int:
+    """'auto' targets ~64 ms of stream per device dispatch (live-SDR
+    latency); otherwise parses an explicit block count."""
+    if isinstance(arg, str) and arg.lower() == "auto":
+        return max(8, min(1024, round(0.064 * samplerate / block_samples)))
+    n = int(arg)
+    if n <= 0:
+        raise ValueError("--chunk-blocks must be positive")
+    return n
+
+
 def main(argv=None, stdin=None, stdout=None) -> int:
     import logging
 
@@ -190,6 +219,14 @@ def main(argv=None, stdin=None, stdout=None) -> int:
     outtype = args.outtype or args.intype
     stdin = stdin if stdin is not None else sys.stdin.buffer
     stdout = stdout if stdout is not None else sys.stdout.buffer
+    try:
+        chunk_blocks = _resolve_chunk_blocks(
+            args.chunk_blocks, args.samplerate,
+            args.block_bytes // stream_bps(args.intype),
+        )
+    except ValueError as e:
+        log.error("%s", e)
+        return 1
 
     from doppler_tpu.runtime.pipeline import ConstScheduler, Pipeline
 
@@ -213,6 +250,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
             if val:
                 log.warning("%s is not supported in channels mode (ignored)",
                             flag)
+        # (--impl auto silently resolves to the XLA channels kernel)
         log.info("multi-channel mode: %d channels", len(specs))
         for s in specs:
             log.info("\tchannel %-16s center offset %+.0f Hz",
@@ -221,7 +259,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
             args.samplerate, args.intype, outtype, specs,
             out_rate=args.resample_to,
             block_bytes=args.block_bytes,
-            chunk_blocks=args.chunk_blocks,
+            chunk_blocks=chunk_blocks,
             quantize_ratio_f32=not args.exact_ratio,
         )
         os.makedirs(args.output_dir, exist_ok=True)
@@ -293,9 +331,9 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         outtype,
         scheduler,
         block_bytes=args.block_bytes,
-        chunk_blocks=args.chunk_blocks,
+        chunk_blocks=chunk_blocks,
         quantize_ratio_f32=not args.exact_ratio,
-        impl=args.impl,
+        impl=_resolve_impl(args.impl),
         drain_on_eof=args.drain,
         prefetch_chunks=args.prefetch_chunks,
     )

@@ -248,3 +248,38 @@ def test_attach_resampler_keeps_float_rate():
     rs = pipe.resampler
     assert rs.out_rate == 11025.5
     assert abs(rs.P / rs.Q * 1024000 - 11025.5) < 1e-3
+
+
+def test_cli_chunk_blocks_auto_and_impl_auto():
+    """--chunk-blocks auto + default --impl auto resolve on CPU and produce
+    the same bytes as explicit settings."""
+    import subprocess
+    import sys
+
+    n = 8192 * 3
+    raw = np.random.default_rng(11).integers(
+        -20000, 20000, size=2 * n, dtype=np.int16
+    )
+    buf = raw.astype("<i2").tobytes()
+    base = [sys.executable, "-m", "doppler_tpu.cli", "const", "-s", "256000",
+            "-i", "i16", "--shift", "-15000", "--platform", "cpu"]
+    a = subprocess.run(base + ["--chunk-blocks", "auto"], input=buf,
+                       capture_output=True)
+    assert a.returncode == 0, a.stderr.decode()[-2000:]
+    b = subprocess.run(base + ["--chunk-blocks", "64", "--impl", "xla"],
+                       input=buf, capture_output=True)
+    assert a.stdout == b.stdout
+
+
+def test_cli_chunk_blocks_rejects_garbage():
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "-m", "doppler_tpu.cli", "const", "-s", "256000",
+         "-i", "i16", "--shift", "0", "--chunk-blocks", "-3",
+         "--platform", "cpu"],
+        input=b"", capture_output=True,
+    )
+    assert p.returncode == 1
+    assert b"chunk-blocks" in p.stderr
