@@ -26,7 +26,8 @@ def main() -> int:
     ap.add_argument("--platform", choices=["default", "cpu"], default="default")
     ap.add_argument(
         "--mode",
-        choices=["chain", "chain-pallas", "mix", "mix-pallas", "channels"],
+        choices=["chain", "chain-pallas", "mix", "mix-pallas", "channels",
+                 "channels-pallas"],
         default="mix-pallas",
         help="default mix-pallas: the Mosaic kernel compiles in seconds "
              "through this environment's remote-compile hop, so a cold run "
@@ -79,11 +80,13 @@ def main() -> int:
     fs = 1024000
     L = 8192
     per_stream = args.samples
-    if args.mode == "channels":
+    if args.mode.startswith("channels"):
         per_stream = max(L, args.samples // args.channels)
     B = max(1, per_stream // L)
     N = B * L
-    total_samples = N * (args.channels if args.mode == "channels" else 1)
+    total_samples = N * (
+        args.channels if args.mode.startswith("channels") else 1
+    )
     rs = RationalResampler(fs, 48000)
     assert N % rs.Q == 0
 
@@ -133,6 +136,40 @@ def main() -> int:
             )
 
         metric = "mix_resample_chain_pallas_i16_samples_per_s_chip"
+    elif args.mode == "channels-pallas":
+        # config 4 on the channel-batched fused Pallas chain (the runtime's
+        # impl='pallas' channels path): ONE kernel launch for all channels
+        from doppler_tpu.ops.pallas.chain import (
+            carry_rows,
+            make_chain_taps,
+            mix_resample_chain_pallas_channels,
+        )
+
+        C = args.channels
+        fields = np.zeros((7, C, B), dtype=np.uint32)
+        for c in range(C):
+            pc = plan_blocks(
+                [9000.0 + 120.0 * c - 0.01 * k for k in range(B)],
+                [L] * B, fs, NCOState(), L,
+            )
+            for fi, name in enumerate(("d_hi", "d_lo", "c1_hi", "c1_lo",
+                                       "c2_hi", "c2_lo", "t")):
+                fields[fi, c] = getattr(pc, name)
+        fields = jax.device_put(jnp.asarray(fields))
+        chain_taps = jax.device_put(
+            jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q))
+        )
+        carries = jax.device_put(
+            jnp.zeros((C, 2, carry_rows(rs.T), 128), jnp.float32)
+        )
+
+        def step(data, *_):
+            out, _ = mix_resample_chain_pallas_channels(
+                data, fields, chain_taps, carries, P=rs.P, Q=rs.Q, T=rs.T
+            )
+            return out
+
+        metric = f"channels{C}_pallas_chain_i16_samples_per_s_chip"
     elif args.mode == "channels":
         # BASELINE config 4: N TLE-tracked channels from one wideband capture,
         # batched (C, B, L) mix + shared resample. Metric counts input samples

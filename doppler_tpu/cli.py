@@ -243,14 +243,12 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         except (OSError, KeyError, ValueError) as e:
             log.error("bad channel config: %s", e)
             return 1
-        for flag, val in (("--impl pallas", args.impl == "pallas"),
-                          ("--drain", args.drain),
+        for flag, val in (("--drain", args.drain),
                           ("--save-state", bool(args.save_state)),
                           ("--load-state", bool(args.load_state))):
             if val:
                 log.warning("%s is not supported in channels mode (ignored)",
                             flag)
-        # (--impl auto silently resolves to the XLA channels kernel)
         log.info("multi-channel mode: %d channels", len(specs))
         for s in specs:
             log.info("\tchannel %-16s center offset %+.0f Hz",
@@ -261,6 +259,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
             block_bytes=args.block_bytes,
             chunk_blocks=chunk_blocks,
             quantize_ratio_f32=not args.exact_ratio,
+            impl=_resolve_impl(args.impl),
         )
         os.makedirs(args.output_dir, exist_ok=True)
         writers = [

@@ -55,6 +55,8 @@ __all__ = [
     "make_chain_taps",
     "mix_resample_chain_pallas",
     "mix_resample_chain_pallas_stream",
+    "mix_resample_chain_pallas_channels",
+    "chain_channel",
     "carry_rows",
 ]
 
@@ -96,7 +98,7 @@ def make_chain_taps(bank: np.ndarray, P: int, Q: int) -> np.ndarray:
     return out
 
 
-def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W):
+def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False):
     SL = L // 128                 # mixed rows per reference block
     WSL = W * SL                  # mixed rows per grid step
     HBR = carry_rows(T)           # history rows
@@ -110,7 +112,9 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W):
     def kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r, t_r,
                words_ref, taps_ref, carry_in_ref, out_ref, carry_out_ref,
                carry_ref):
-        b = pl.program_id(0)
+        # channel-batched form: grid (C, B/W), c-major so the carry scratch
+        # finishes one channel's stream before the next begins
+        b = pl.program_id(1) if channels else pl.program_id(0)
 
         # local sample index within one reference block, (SL, 128)
         j = (
@@ -118,6 +122,12 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W):
             + jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 1)
         )
         scale = jnp.float32(1.0 / 32768.0)
+
+        if channels:
+            ch = pl.program_id(0)
+            sidx = lambda r, k: r[ch, k]        # noqa: E731  (C, B) plans
+        else:
+            sidx = lambda r, k: r[k]            # noqa: E731  (B,) plans
 
         mis, mqs = [], []
         for wi in range(W):
@@ -128,8 +138,8 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W):
             fq = (w >> 16).astype(jnp.float32) * scale
 
             # ---- exact Q0.64 phase (see ops/pallas/mixer.py)
-            d_hi = d_hi_r[k]
-            d_lo = d_lo_r[k]
+            d_hi = sidx(d_hi_r, k)
+            d_lo = sidx(d_lo_r, k)
             jd_lo = j * d_lo
             jd_hi = _umulhi32(j, d_lo) + j * d_hi
 
@@ -139,9 +149,9 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W):
                 return jd_hi + c_hi + carry
 
             q32 = jnp.where(
-                j < t_r[k],
-                with_offset(c1_hi_r[k], c1_lo_r[k]),
-                with_offset(c2_hi_r[k], c2_lo_r[k]),
+                j < sidx(t_r, k),
+                with_offset(sidx(c1_hi_r, k), sidx(c1_lo_r, k)),
+                with_offset(sidx(c2_hi_r, k), sidx(c2_lo_r, k)),
             )
             q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
             c, s = _sincos_q24(q24)
@@ -150,10 +160,11 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W):
         mi = mis[0] if W == 1 else jnp.concatenate(mis, axis=0)   # (WSL, 128)
         mq = mqs[0] if W == 1 else jnp.concatenate(mqs, axis=0)
 
-        # ---- overlap-save carry (whole rows; streamed in from prior chunk)
+        # ---- overlap-save carry (whole rows; streamed in from prior chunk,
+        # re-seeded at each channel's first step in channel-batched form)
         @pl.when(b == 0)
         def _():
-            carry_ref[...] = carry_in_ref[...]
+            carry_ref[...] = carry_in_ref[0] if channels else carry_in_ref[...]
 
         rows_i = jnp.concatenate([carry_ref[0], mi], axis=0)   # (HBR+WSL, 128)
         rows_q = jnp.concatenate([carry_ref[1], mq], axis=0)
@@ -166,8 +177,13 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W):
         # Mosaic lowering (lower_to_llo "d >> 32" check), indexed stores don't
         carry_ref[0] = mi[WSL - HBR:]
         carry_ref[1] = mq[WSL - HBR:]
-        carry_out_ref[0] = mi[WSL - HBR:]      # last grid step's write survives
-        carry_out_ref[1] = mq[WSL - HBR:]
+        if channels:
+            # last step of each channel's run survives into its (c,…) block
+            carry_out_ref[0, 0] = mi[WSL - HBR:]
+            carry_out_ref[0, 1] = mq[WSL - HBR:]
+        else:
+            carry_out_ref[0] = mi[WSL - HBR:]  # last grid step's write survives
+            carry_out_ref[1] = mq[WSL - HBR:]
 
         # ---- polyphase: R accumulated matmuls, I/Q row-stacked and all
         # subgroups column-stacked — (2A, 128) @ (128, n_sub·PP) per slice.
@@ -192,10 +208,14 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W):
             v = jnp.clip(v, jnp.float32(-32768.0), jnp.float32(32767.0))
             return v.astype(jnp.int32)
 
-        out_ref[0] = (
+        word = (
             (enc(acc[:A]) & jnp.int32(0xFFFF))
             | jnp.left_shift(enc(acc[A:]), 16)
         )
+        if channels:
+            out_ref[0, 0] = word
+        else:
+            out_ref[0] = word
 
     return kernel
 
@@ -295,13 +315,130 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
     return out, carry_out
 
 
+@functools.partial(
+    jax.jit, static_argnames=("P", "Q", "T", "interpret", "blocks_per_step")
+)
 def mix_resample_chain_pallas(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
                               chain_taps, *, P: int, Q: int, T: int,
-                              interpret: bool = False):
-    """One-shot form (zero history): see the streaming variant above."""
+                              interpret: bool = False,
+                              blocks_per_step: int | None = None):
+    """One-shot form (zero history): see the streaming variant above.
+
+    jitted so the zero carry folds into the executable — an eager
+    ``jnp.zeros`` per call costs a separate device dispatch, which through a
+    remote relay is milliseconds of fixed overhead.
+    """
     carry0 = jnp.zeros((2, carry_rows(T), 128), jnp.float32)
     out, _ = mix_resample_chain_pallas_stream(
         words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t, chain_taps, carry0,
-        P=P, Q=Q, T=T, interpret=interpret,
+        P=P, Q=Q, T=T, interpret=interpret, blocks_per_step=blocks_per_step,
     )
     return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("P", "Q", "T", "interpret", "blocks_per_step")
+)
+def mix_resample_chain_pallas_channels(words, fields, chain_taps, carries,
+                                       *, P: int, Q: int, T: int,
+                                       interpret: bool = False,
+                                       blocks_per_step: int | None = None):
+    """Channel-batched streaming chain: ONE kernel launch for all channels.
+
+    ``words``   : shared wideband ``(B, L)`` i16 words.
+    ``fields``  : ``(7, C, B)`` uint32 plan stack (d_hi…t, channel-major).
+    ``carries`` : ``(C, 2, HBR, 128)`` per-channel FIR carries.
+    → ``((C, B, M) words, (C, 2, HBR, 128) carries)``.
+
+    Grid ``(C, B/W)`` iterates channel-major; the carry scratch re-seeds
+    from ``carries[c]`` at each channel's first step, so per-channel output
+    is bit-identical to C separate single-channel streaming calls.  One
+    launch instead of C amortizes the per-dispatch host/relay overhead
+    (~1 ms each through this environment's tunnel) that made per-channel
+    dispatch launch-bound.
+    """
+    B, L = words.shape
+    if L % Q or L % 128:
+        raise ValueError(f"block length {L} must be a multiple of Q={Q} and 128")
+    M = L * P // Q
+    n_sub, taps_rows, PP = chain_taps.shape
+    if n_sub != 128 // Q:
+        raise ValueError("chain_taps does not match Q")
+    C = carries.shape[0]
+    if fields.shape != (7, C, B):
+        raise ValueError(f"fields shape {fields.shape} != (7, {C}, {B})")
+    HBR = carry_rows(T)
+    W = blocks_per_step or _pick_chain_blocks_per_step(B, L, T)
+    if B % W:
+        raise ValueError(f"blocks_per_step {W} must divide block count {B}")
+    if (W * L) // 128 < HBR:
+        raise ValueError(
+            f"blocks_per_step {W} too small: step must span ≥ {HBR} rows"
+        )
+    SL = L // 128
+    A = W * SL
+    CC = n_sub * PP
+    kernel = _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=True)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(C, B // W),
+        in_specs=[
+            pl.BlockSpec((W, SL, 128), lambda c, b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((taps_rows, CC), lambda c, b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, HBR, 128), lambda c, b, *_: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, A, CC), lambda c, b, *_: (c, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, HBR, 128), lambda c, b, *_: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((2, HBR, 128), jnp.float32)],
+    )
+    f = jnp.asarray(fields, jnp.uint32)
+    taps_merged = jnp.transpose(
+        jnp.asarray(chain_taps), (1, 0, 2)
+    ).reshape(taps_rows, CC)
+    out, carry_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((C, B // W, A, CC), jnp.int32),
+            jax.ShapeDtypeStruct((C, 2, HBR, 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        f[0], f[1], f[2], f[3], f[4], f[5], f[6],
+        words.reshape(B, SL, 128), taps_merged,
+        jnp.asarray(carries, jnp.float32),
+    )
+    out = out.reshape(C, B // W, A, n_sub, PP)[..., :P].reshape(C, B, M)
+    return out, carry_out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("P", "Q", "T", "interpret", "blocks_per_step")
+)
+def chain_channel(words, fields, c, chain_taps, carry_in, *, P: int, Q: int,
+                  T: int, interpret: bool = False,
+                  blocks_per_step: int | None = None):
+    """Per-channel streaming chain over a shared plan tensor.
+
+    ``fields`` is the uint32 ``(7, C, B)`` plan stack of
+    ``runtime.channels.MultiChannelPipeline._plan_all``; ``c`` a traced
+    channel index (one executable serves every channel).  Slicing inside the
+    trace avoids 7·C tiny eager host→device transfers per chunk.
+    """
+    f = jnp.asarray(fields, jnp.uint32)
+    return mix_resample_chain_pallas_stream(
+        words, f[0, c], f[1, c], f[2, c], f[3, c], f[4, c], f[5, c], f[6, c],
+        chain_taps, carry_in,
+        P=P, Q=Q, T=T, interpret=interpret, blocks_per_step=blocks_per_step,
+    )

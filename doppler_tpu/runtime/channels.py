@@ -96,6 +96,8 @@ class MultiChannelPipeline:
         chunk_blocks: int = 64,
         quantize_ratio_f32: bool = True,
         reset_quirk: bool = True,
+        impl: str = "xla",
+        pallas_interpret: bool = False,
     ):
         if not channels:
             raise ValueError("need at least one channel")
@@ -129,6 +131,12 @@ class MultiChannelPipeline:
             self._groups[0][1] if len(self._groups) == 1 else None
         )
         self._uniform = len(self._groups) == 1
+        if impl not in ("xla", "pallas"):
+            raise ValueError(f"impl must be 'xla' or 'pallas', got {impl!r}")
+        self.impl = impl
+        self.pallas_interpret = pallas_interpret
+        self._chain_carries = None    # per-channel fused-chain FIR carries
+        self._chain_taps = None
 
     def _plan_all(self, counts):
         C = len(self.channels)
@@ -174,6 +182,10 @@ class MultiChannelPipeline:
             flat[: pairs.shape[0]] = pairs
             staged = flat.reshape(B, L, 2)
 
+        chain_out = self._try_chain(staged, fields, total)
+        if chain_out is not None:
+            return chain_out
+
         no_resampling = all(rs is None for _, rs in self._groups)
         mix_outtype = self.outtype if no_resampling else "f32"
         out = _channels_mix_kernel(
@@ -195,6 +207,8 @@ class MultiChannelPipeline:
             return [to_bytes(flat_out[c]) for c in range(C)]
 
         planar = out.reshape(C, -1, 2)
+        # any future fused-chain chunk must reseed its carries from rs history
+        self._chain_carries = None
         outs: list[bytes] = [b""] * C
         for idxs, rs in self._groups:
             sel = jnp.asarray(idxs)
@@ -212,6 +226,65 @@ class MultiChannelPipeline:
             for row, cidx in enumerate(idxs):
                 outs[cidx] = to_bytes(flat_out[row])
         return outs
+
+    def _try_chain(self, staged, fields, total: int):
+        """Fused Pallas chain per channel (impl='pallas', uniform-rate i16
+        captures): one decode→mix→resample→encode dispatch per channel, no
+        HBM round trip for the mixed planes.  Returns per-channel bytes or
+        None to fall through to the XLA kernels."""
+        rs = self.resampler if self._uniform else None
+        B, L = self.chunk_blocks, self.block_samples
+        if not (
+            self.impl == "pallas"
+            and rs is not None
+            and getattr(rs, "bank", None) is not None
+            and self.intype == "i16"
+            and self.outtype == "i16"
+            and L % 128 == 0
+            and 128 % rs.Q == 0
+            and total == B * L          # padded tails poison the carry
+        ):
+            return None
+        from doppler_tpu.ops.pallas.chain import (
+            carry_rows,
+            make_chain_taps,
+            mix_resample_chain_pallas_channels,
+        )
+
+        hbr = carry_rows(rs.T)
+        if hbr > (B * L) // 128:
+            return None
+        C = len(self.channels)
+        if self._chain_taps is None:
+            self._chain_taps = jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q))
+        if self._chain_carries is None:
+            # seed from the batched resampler's per-channel FIR history so
+            # chunks interleaved with the XLA path (or a restored checkpoint)
+            # resume bitwise
+            h = rs.T - 1
+            flat = np.zeros((C, 2, hbr * 128), dtype=np.float32)
+            if h > 0:
+                flat[:, 0, hbr * 128 - h:] = np.asarray(rs._hist_i)
+                flat[:, 1, hbr * 128 - h:] = np.asarray(rs._hist_q)
+            self._chain_carries = jnp.asarray(flat.reshape(C, 2, hbr, 128))
+
+        words = jnp.asarray(staged)
+        fields_dev = jnp.asarray(fields)     # one (7, C, B) transfer per chunk
+        out, self._chain_carries = mix_resample_chain_pallas_channels(
+            words, fields_dev, self._chain_taps, self._chain_carries,
+            P=rs.P, Q=rs.Q, T=rs.T, interpret=self.pallas_interpret,
+        )
+
+        n_out = rs.out_count_for(total)
+        rs.m_next += n_out
+        rs.in_consumed += total
+        h = rs.T - 1
+        if h > 0:
+            flat_c = self._chain_carries.reshape(C, 2, -1)
+            rs._hist_i = flat_c[:, 0, -h:]
+            rs._hist_q = flat_c[:, 1, -h:]
+        out_host = np.asarray(out).reshape(C, -1)[:, :n_out]
+        return [codec.i16_words_to_bytes(out_host[c]) for c in range(C)]
 
     def run(self, fin, writers) -> Counters:
         """Pump the stream; ``writers`` is one binary file object per channel."""

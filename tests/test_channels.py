@@ -175,3 +175,50 @@ def test_per_channel_resample_mixed_with_unresampled():
     b = oracle.decode_i16_bytes(want_deci)
     assert a.size == b.size
     assert oracle.snr_db(b, a) > 80.0
+
+
+def test_channels_pallas_chain_matches_xla():
+    """impl='pallas' (fused per-channel chain, interpret mode) must match
+    the XLA channels path to <=1 LSB, including across chunk boundaries."""
+    n = 8192 * 8
+    buf = wideband(n)
+
+    def run(impl):
+        specs = [
+            ChannelSpec("x", ConstScheduler(9000.0), center_offset_hz=2000.0),
+            ChannelSpec("y", ConstScheduler(-7000.0)),
+        ]
+        mp = MultiChannelPipeline(FS, "i16", "i16", specs, out_rate=48000,
+                                  chunk_blocks=16, impl=impl,
+                                  pallas_interpret=(impl == "pallas"))
+        outs = [io.BytesIO() for _ in specs]
+        mp.run(io.BytesIO(buf), outs)
+        return [o.getvalue() for o in outs]
+
+    xla = run("xla")
+    pal = run("pallas")
+    for a, b in zip(pal, xla):
+        assert len(a) == len(b)
+        lsb_close(a, b)
+
+
+def test_channels_pallas_chain_tail_fallback_consistent():
+    """A stream whose tail chunk is partial: chain chunks followed by an XLA
+    fallback chunk must still match the all-XLA run (carry handoff through
+    the shared resampler history)."""
+    n = 8192 * 5 + 4096   # partial final block -> partial final chunk
+    buf = wideband(n)
+
+    def run(impl):
+        specs = [ChannelSpec("x", ConstScheduler(5000.0))]
+        mp = MultiChannelPipeline(FS, "i16", "i16", specs, out_rate=48000,
+                                  chunk_blocks=2, impl=impl,
+                                  pallas_interpret=(impl == "pallas"))
+        outs = [io.BytesIO()]
+        mp.run(io.BytesIO(buf), outs)
+        return outs[0].getvalue()
+
+    a = run("pallas")
+    b = run("xla")
+    assert len(a) == len(b)
+    lsb_close(a, b)

@@ -112,3 +112,42 @@ def test_chain_streaming_carry_across_calls():
     )
     split = np.concatenate([np.asarray(o1), np.asarray(o2)])
     np.testing.assert_array_equal(split, whole)
+
+
+def test_channel_batched_chain_matches_per_channel():
+    """The (C, B/W)-grid channel-batched kernel must equal C independent
+    streaming runs bitwise, including carry hand-off across calls."""
+    from doppler_tpu.ops.pallas.chain import (
+        carry_rows,
+        mix_resample_chain_pallas_channels,
+        mix_resample_chain_pallas_stream,
+    )
+
+    rs = RationalResampler(FS, 48000)
+    taps = make_chain_taps(rs.bank, rs.P, rs.Q)
+    C, B, L = 3, 4, 2048
+    words = RNG.integers(-(1 << 31), 1 << 31, size=(B, L), dtype=np.int64).astype(
+        np.int32
+    )
+    fields = np.zeros((7, C, B), dtype=np.uint32)
+    for c in range(C):
+        plan = plan_blocks([1000.0 * (c + 1)] * B, [L] * B, FS, NCOState(), L)
+        for fi, name in enumerate(("d_hi", "d_lo", "c1_hi", "c1_lo",
+                                   "c2_hi", "c2_lo", "t")):
+            fields[fi, c] = getattr(plan, name)
+    hbr = carry_rows(rs.T)
+    rng2 = np.random.default_rng(5)
+    carries = rng2.normal(size=(C, 2, hbr, 128)).astype(np.float32) * 0.1
+
+    out_b, car_b = mix_resample_chain_pallas_channels(
+        jnp.asarray(words), jnp.asarray(fields), jnp.asarray(taps),
+        jnp.asarray(carries), P=rs.P, Q=rs.Q, T=rs.T, interpret=True,
+    )
+    for c in range(C):
+        out_s, car_s = mix_resample_chain_pallas_stream(
+            jnp.asarray(words), *(jnp.asarray(fields[f, c]) for f in range(7)),
+            jnp.asarray(taps), jnp.asarray(carries[c]),
+            P=rs.P, Q=rs.Q, T=rs.T, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out_b)[c], np.asarray(out_s))
+        np.testing.assert_array_equal(np.asarray(car_b)[c], np.asarray(car_s))
