@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mix_blocks_pallas"]
+__all__ = ["mix_blocks_pallas", "mix_blocks_pallas_fmt"]
 
 _MASK16 = np.uint32(0xFFFF)
 
@@ -78,18 +78,24 @@ def _sincos_q24(q24):
     return cos_u, -sin_u                                   # θ = −2π·u
 
 
-def _make_mixer_kernel(W: int):
+def _make_mixer_kernel(W: int, intype: str = "i16", outtype: str = "i16"):
     """Mixer kernel over W reference blocks per grid step.
 
     One grid step DMAs ``W·L·4`` bytes each way (32 KB blocks are far below
     the HBM DMA sweet spot; W=16 → 512 KB transfers) and unrolls a static
     per-block loop for the plan scalars, cutting sequential-grid overhead W×.
+
+    ``intype``/``outtype`` select the wire format each side of the mix:
+    ``i16`` moves packed int32 IQ words ``(W, S, 128)``; ``f32`` moves planar
+    float32 planes ``(2, W, S, 128)`` (I at plane 0, Q at plane 1 — stride-2
+    interleaved lanes are hostile to the VPU, so f32 rides planar; the
+    host/XLA stages the deinterleave).
     """
 
     def kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r, t_r,
-               words_ref, out_ref):
+               in_ref, out_ref):
         b = pl.program_id(0)
-        S = words_ref.shape[1]           # (W, L // 128, 128) — TPU-tiled view
+        S = in_ref.shape[-2]             # (…, L // 128, 128) — TPU-tiled view
         scale = jnp.float32(1.0 / 32768.0)
 
         # local sample index within one reference block, (S, 128)
@@ -101,10 +107,15 @@ def _make_mixer_kernel(W: int):
         for wi in range(W):
             k = b * W + wi
 
-            # ---- decode: one int32 word = one LE i16 IQ pair (dsp.rs:85-99)
-            w = words_ref[wi]
-            fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
-            fq = (w >> 16).astype(jnp.float32) * scale
+            if intype == "i16":
+                # ---- decode: one int32 word = one LE i16 pair (dsp.rs:85-99)
+                w = in_ref[wi]
+                fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
+                fq = (w >> 16).astype(jnp.float32) * scale
+            else:
+                # ---- f32 wire format decodes to itself (dsp.rs:101-115)
+                fi = in_ref[0, wi]
+                fq = in_ref[1, wi]
 
             # ---- exact Q0.64 phase: (j·D + C) mod 2^64, top 32 bits
             d_hi = d_hi_r[k]
@@ -129,70 +140,122 @@ def _make_mixer_kernel(W: int):
             oi = fi * c - fq * s
             oq = fi * s + fq * c
 
-            # ---- encode: ×32767, truncate toward zero, saturate
-            # (main.rs:76-84).  The reference's NaN→0 branch is provably
-            # unreachable here: decoded i16 inputs are finite with |v| ≤ 1
-            # and the rotation is finite, so no guard is emitted.
-            def enc(v):
-                v = jnp.trunc(v * jnp.float32(32767.0))
-                v = jnp.clip(v, jnp.float32(-32768.0), jnp.float32(32767.0))
-                return v.astype(jnp.int32)
+            if outtype == "i16":
+                # ---- encode: ×32767, truncate toward zero, saturate
+                # (main.rs:76-84).  For i16 inputs the reference's NaN→0
+                # branch is provably unreachable (decoded values are finite
+                # with |v| ≤ 1 and the rotation is finite) so no guard is
+                # emitted; f32 inputs can carry NaN bits, so the guard stays.
+                def enc(v):
+                    v = jnp.trunc(v * jnp.float32(32767.0))
+                    if intype == "f32":
+                        v = jnp.where(jnp.isnan(v), jnp.float32(0.0), v)
+                    v = jnp.clip(
+                        v, jnp.float32(-32768.0), jnp.float32(32767.0))
+                    return v.astype(jnp.int32)
 
-            # per-plane store (jnp.stack of sublane-sliced planes crashes the
-            # Mosaic lowering; indexed stores don't)
-            out_ref[wi] = (
-                (enc(oi) & jnp.int32(0xFFFF)) | jnp.left_shift(enc(oq), 16)
-            )
+                # per-plane store (jnp.stack of sublane-sliced planes crashes
+                # the Mosaic lowering; indexed stores don't)
+                out_ref[wi] = (
+                    (enc(oi) & jnp.int32(0xFFFF)) | jnp.left_shift(enc(oq), 16)
+                )
+            else:
+                out_ref[0, wi] = oi
+                out_ref[1, wi] = oq
 
     return kernel
 
 
-def _pick_blocks_per_step(B: int, L: int) -> int:
-    """Largest W ≤ 16 dividing B with W·L·4 ≤ 2 MB per VMEM buffer."""
-    cap = max(1, (2 << 20) // (L * 4))
+def _pick_blocks_per_step(B: int, L: int, planes: int = 1) -> int:
+    """Largest W ≤ 16 dividing B with W·L·4·planes ≤ 2 MB per VMEM buffer."""
+    cap = max(1, (2 << 20) // (L * 4 * planes))
     w = min(16, B, cap)
     while B % w:
         w -= 1
     return w
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "blocks_per_step"))
-def mix_blocks_pallas(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
-                      *, interpret: bool = False,
-                      blocks_per_step: int | None = None):
-    """i16 words ``(B, L)`` + per-block plan ``(B,)`` → mixed i16 words.
+@functools.partial(
+    jax.jit,
+    static_argnames=("intype", "outtype", "interpret", "blocks_per_step"),
+)
+def mix_blocks_pallas_fmt(data, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
+                          *, intype: str = "i16", outtype: str = "i16",
+                          interpret: bool = False,
+                          blocks_per_step: int | None = None):
+    """Fused decode → mix → encode for any i16/f32 wire-format combination.
 
-    Semantically identical to decode → ``nco.mix_blocks`` → encode.
-    ``interpret=True`` runs the Pallas interpreter (CPU tests).
+    ``data``: packed int32 IQ words ``(B, L)`` when ``intype='i16'``, planar
+    float32 ``(2, B, L)`` (I plane, Q plane) when ``intype='f32'``.  Returns
+    the matching layout for ``outtype``.  Per-block plan words ``(B,)`` ride
+    scalar prefetch.  Semantically identical to decode → ``nco.mix_blocks``
+    → encode.  ``interpret=True`` runs the Pallas interpreter (CPU tests).
     ``blocks_per_step`` (must divide B) batches W reference blocks per grid
     step; default auto-picks for ~0.5-2 MB DMA transfers.
     """
-    B, L = words.shape
+    if intype not in ("i16", "f32") or outtype not in ("i16", "f32"):
+        raise ValueError(f"bad format combo {intype!r} → {outtype!r}")
+    if intype == "i16":
+        B, L = data.shape
+    else:
+        _, B, L = data.shape
     if L % 128:
         raise ValueError(f"block length {L} must be a multiple of 128")
-    W = blocks_per_step or _pick_blocks_per_step(B, L)
+    planes = max(2 if intype == "f32" else 1, 2 if outtype == "f32" else 1)
+    W = blocks_per_step or _pick_blocks_per_step(B, L, planes)
     if B % W:
         raise ValueError(f"blocks_per_step {W} must divide block count {B}")
     S = L // 128
+
+    if intype == "i16":
+        in_spec = pl.BlockSpec((W, S, 128), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        in_arr = data.reshape(B, S, 128)
+    else:
+        in_spec = pl.BlockSpec((2, W, S, 128), lambda b, *_: (0, b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        in_arr = data.reshape(2, B, S, 128)
+    if outtype == "i16":
+        out_spec = pl.BlockSpec((W, S, 128), lambda b, *_: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, S, 128), jnp.int32)
+    else:
+        out_spec = pl.BlockSpec((2, W, S, 128), lambda b, *_: (0, b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((2, B, S, 128), jnp.float32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(B // W,),
-        in_specs=[
-            pl.BlockSpec((W, S, 128), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((W, S, 128), lambda b, *_: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[in_spec],
+        out_specs=out_spec,
     )
     out = pl.pallas_call(
-        _make_mixer_kernel(W),
+        _make_mixer_kernel(W, intype, outtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, S, 128), jnp.int32),
+        out_shape=out_shape,
         interpret=interpret,
     )(
         jnp.asarray(d_hi, jnp.uint32), jnp.asarray(d_lo, jnp.uint32),
         jnp.asarray(c1_hi, jnp.uint32), jnp.asarray(c1_lo, jnp.uint32),
         jnp.asarray(c2_hi, jnp.uint32), jnp.asarray(c2_lo, jnp.uint32),
-        jnp.asarray(t, jnp.uint32), words.reshape(B, S, 128),
+        jnp.asarray(t, jnp.uint32), in_arr,
     )
-    return out.reshape(B, L)
+    if outtype == "i16":
+        return out.reshape(B, L)
+    return out.reshape(2, B, L)
+
+
+def mix_blocks_pallas(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
+                      *, interpret: bool = False,
+                      blocks_per_step: int | None = None):
+    """i16 words ``(B, L)`` + per-block plan ``(B,)`` → mixed i16 words.
+
+    The i16→i16 specialization of :func:`mix_blocks_pallas_fmt` (the
+    framework's headline kernel — 8 bytes of HBM traffic per sample).
+    """
+    return mix_blocks_pallas_fmt(
+        words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
+        intype="i16", outtype="i16", interpret=interpret,
+        blocks_per_step=blocks_per_step,
+    )

@@ -143,23 +143,39 @@ class Pipeline:
 
     # -- staging ------------------------------------------------------------
 
-    def _stage_in(self, data: bytes, total_samples: int):
-        """Raw chunk bytes → fixed-shape (B, L[, 2]) device-ready array."""
+    def _stage_in(self, data: bytes, total_samples: int, planar: bool = False):
+        """Raw chunk bytes → fixed-shape device-ready array.
+
+        i16 → packed int32 words ``(B, L)``; f32 → interleaved ``(B, L, 2)``
+        for the XLA path, or planar ``(2, B, L)`` (``planar=True``) for the
+        Pallas kernel, which wants I/Q on separate dense lanes.
+        """
         B, L = self.chunk_blocks, self.block_samples
         if self.intype == "i16":
             flat = np.zeros(B * L, dtype="<i4")
             words = codec.bytes_to_i16_words(data)
             flat[: words.size] = words
             return flat.reshape(B, L)
-        flat = np.zeros((B * L, 2), dtype="<f4")
         pairs = codec.bytes_to_f32_pairs(data)
+        if planar:
+            flat = np.zeros((2, B * L), dtype="<f4")
+            flat[0, : pairs.shape[0]] = pairs[:, 0]
+            flat[1, : pairs.shape[0]] = pairs[:, 1]
+            return flat.reshape(2, B, L)
+        flat = np.zeros((B * L, 2), dtype="<f4")
         flat[: pairs.shape[0]] = pairs
         return flat.reshape(B, L, 2)
 
-    def _stage_out(self, out, total_samples: int) -> bytes:
+    def _stage_out(self, out, total_samples: int, planar: bool = False) -> bytes:
         if self.outtype == "i16":
             flat = np.asarray(out).reshape(-1)
             return codec.i16_words_to_bytes(flat[:total_samples])
+        if planar:
+            planes = np.asarray(out).reshape(2, -1)
+            pairs = np.empty((total_samples, 2), dtype="<f4")
+            pairs[:, 0] = planes[0, :total_samples]
+            pairs[:, 1] = planes[1, :total_samples]
+            return pairs.tobytes()
         flat = np.asarray(out).reshape(-1, 2)
         return codec.f32_pairs_to_bytes(flat[:total_samples])
 
@@ -173,8 +189,8 @@ class Pipeline:
         """Materialize a dispatched chunk's bytes (blocks on the device)."""
         if pending is None:
             return b""
-        out, n_valid = pending
-        return self._stage_out(out, n_valid)
+        out, n_valid, planar = pending
+        return self._stage_out(out, n_valid, planar=planar)
 
     def _dispatch(self, chunk: streaming.Chunk):
         """Plan + launch one chunk on the device WITHOUT waiting for it.
@@ -205,15 +221,13 @@ class Pipeline:
         if pad:
             arrs = [np.pad(a, (0, pad)) for a in arrs]
 
-        staged = self._stage_in(chunk.data, total)
         mix_outtype = self.outtype if self.resampler is None else "f32"
         L = self.block_samples
         rs = self.resampler
-        use_pallas_mix = (
-            self.impl == "pallas"
-            and self.intype == "i16"
-            and mix_outtype == "i16"
-            and L % 128 == 0
+        use_pallas_mix = self.impl == "pallas" and L % 128 == 0
+        staged = self._stage_in(
+            chunk.data, total,
+            planar=use_pallas_mix and self.intype == "f32",
         )
         if rs is not None and self.impl == "pallas":
             from doppler_tpu.ops.pallas.chain import carry_rows
@@ -267,15 +281,18 @@ class Pipeline:
             rs._hist_i = flat[0, flat.shape[1] - (rs.T - 1):]
             rs._hist_q = flat[1, flat.shape[1] - (rs.T - 1):]
             self._sample_offset += total
-            return (out, n_out)
+            return (out, n_out, False)
 
+        mix_planar = False
         if use_pallas_mix:
-            from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas
+            from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas_fmt
 
-            out = mix_blocks_pallas(
+            out = mix_blocks_pallas_fmt(
                 jnp.asarray(staged), *(jnp.asarray(a) for a in arrs),
+                intype=self.intype, outtype=mix_outtype,
                 interpret=self.pallas_interpret,
             )
+            mix_planar = mix_outtype == "f32"
         else:
             out = _chunk_kernel(
                 jnp.asarray(staged),
@@ -285,17 +302,22 @@ class Pipeline:
             )
         self._sample_offset += total
         if self.resampler is None:
-            return (out, total)
+            return (out, total, mix_planar)
 
-        flat = out.reshape(-1, 2)
+        if mix_planar:
+            planes = out.reshape(2, -1)
+            mi, mq = planes[0], planes[1]
+        else:
+            flat = out.reshape(-1, 2)
+            mi, mq = flat[:, 0], flat[:, 1]
         yi, yq, n_out = self.resampler.process(
-            flat[:, 0], flat[:, 1], total,
+            mi, mq, total,
             M=self.resampler.max_out_for(B * self.block_samples),
         )
         # any future pallas-chain chunk must reseed its carry from rs history
         self._chain_carry = None
         enc = _encode_kernel(yi, yq, outtype=self.outtype)
-        return (enc, n_out)
+        return (enc, n_out, False)
 
     def run(self, fin, fout, should_stop=None) -> Counters:
         """Pump ``fin`` → ``fout`` until EOF (short read), reference framing.

@@ -36,6 +36,75 @@ def test_pallas_mixer_matches_xla_path():
     assert np.mean(got == want) > 0.99
 
 
+def _plan_arrs(shifts, L, fs):
+    from doppler_tpu.ops.phase_plan import NCOState, plan_blocks
+
+    plan = plan_blocks(shifts, [L] * len(shifts), fs, NCOState(), L)
+    return (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t)
+
+
+def test_pallas_mixer_f32_in_f32_out_matches_xla():
+    from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas_fmt
+
+    B, L, fs = 3, 1024, 256000
+    planar = RNG.normal(size=(2, B, L)).astype(np.float32)
+    arrs = _plan_arrs([815000.0, -4321.0, 0.5], L, fs)
+
+    wi, wq = nco.mix_blocks(jnp.asarray(planar[0]), jnp.asarray(planar[1]),
+                            *arrs)
+    out = np.asarray(mix_blocks_pallas_fmt(
+        jnp.asarray(planar), *arrs, intype="f32", outtype="f32",
+        interpret=True,
+    ))
+    np.testing.assert_allclose(out[0], np.asarray(wi), atol=2e-6)
+    np.testing.assert_allclose(out[1], np.asarray(wq), atol=2e-6)
+
+
+def test_pallas_mixer_f32_in_i16_out_nan_guard():
+    """f32 inputs can carry NaN; the reference encodes NaN as 0 (main.rs:77)."""
+    from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas_fmt
+
+    B, L, fs = 2, 512, 48000
+    planar = RNG.normal(size=(2, B, L)).astype(np.float32)
+    planar[0, 0, :16] = np.nan
+    planar[1, 1, 100:110] = np.nan
+    arrs = _plan_arrs([1000.0, -2000.0], L, fs)
+
+    wi, wq = nco.mix_blocks(jnp.asarray(planar[0]), jnp.asarray(planar[1]),
+                            *arrs)
+    want = np.asarray(codec.iq_to_i16_words(wi, wq))
+    got = np.asarray(mix_blocks_pallas_fmt(
+        jnp.asarray(planar), *arrs, intype="f32", outtype="i16",
+        interpret=True,
+    ))
+    gi, gq = (np.asarray(a) for a in codec.i16_words_to_iq(jnp.asarray(got)))
+    ei, eq = (np.asarray(a) for a in codec.i16_words_to_iq(jnp.asarray(want)))
+    diff = np.maximum(np.abs(gi - ei), np.abs(gq - eq)) * 32768.0
+    assert diff.max() <= 1.0 + 1e-3
+    # NaN lanes must encode to exactly 0 in both halves
+    assert np.all(got[0, :16] & 0xFFFF == 0)
+    assert np.all(np.asarray(gq)[1, 100:110] == 0.0)
+
+
+def test_pallas_mixer_i16_in_f32_out():
+    from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas_fmt
+
+    B, L, fs = 2, 640, 96000
+    words = RNG.integers(-(1 << 31), 1 << 31, size=(B, L),
+                         dtype=np.int64).astype(np.int32)
+    arrs = _plan_arrs([333.25, 44100.0], L, fs)
+
+    i, q = codec.i16_words_to_iq(jnp.asarray(words))
+    wi, wq = nco.mix_blocks(i, q, *arrs)
+    out = np.asarray(mix_blocks_pallas_fmt(
+        jnp.asarray(words), *arrs, intype="i16", outtype="f32",
+        interpret=True,
+    ))
+    np.testing.assert_allclose(out[0], np.asarray(wi), atol=2e-6)
+    np.testing.assert_allclose(out[1], np.asarray(wq), atol=2e-6)
+
+
 def test_pallas_mixer_blocks_per_step_equivalence():
     """Every W dividing B produces identical words (W only regroups DMAs)."""
     B, L, fs = 4, 1024, 256000

@@ -79,6 +79,32 @@ def test_chunk_width_invariance():
     assert a == b
 
 
+def test_pallas_mixer_f32_paths_match_xla():
+    """impl='pallas' f32 in/out (planar staging) ≈ the XLA interleaved path."""
+    buf, _ = make_f32_stream(3000)  # 2 full 1024-sample blocks + tail
+
+    def run(intype, outtype, impl, interpret=False):
+        pipe = Pipeline(FS, intype, outtype, ConstScheduler(-9876.5),
+                        chunk_blocks=2, impl=impl,
+                        pallas_interpret=interpret)
+        out = io.BytesIO()
+        pipe.run(io.BytesIO(buf), out)
+        return out.getvalue()
+
+    for outtype in ("f32", "i16"):
+        a = run("f32", outtype, "xla")
+        b = run("f32", outtype, "pallas", interpret=True)
+        assert len(a) == len(b)
+        if outtype == "f32":
+            np.testing.assert_allclose(
+                np.frombuffer(a, "<f4"), np.frombuffer(b, "<f4"), atol=2e-6)
+        else:
+            aw = np.frombuffer(a, "<i2").astype(np.int32)
+            bw = np.frombuffer(b, "<i2").astype(np.int32)
+            assert np.abs(aw - bw).max() <= 1
+            assert np.mean(aw == bw) > 0.99
+
+
 def test_empty_stream():
     assert run_pipeline(b"", "i16", "i16", 1000.0) == b""
 
