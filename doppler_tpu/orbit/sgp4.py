@@ -12,8 +12,9 @@ Host-side by design: propagation is O(blocks), not O(samples) (SURVEY §2
 entire Doppler curve, which is how the track scheduler amortizes host cost
 for high-rate streams.
 
-Deep-space (SDP4) satellites (period ≥ 225 min) are detected and rejected
-with a clear error for now; every baseline config is LEO.
+Deep-space (SDP4) satellites (period ≥ 225 min) are detected and routed
+through the SDP4 corrections in ``orbit.deepspace`` (resonance + lunar/solar
+periodics); near-earth propagation stays on the pure SGP4 path below.
 """
 
 from __future__ import annotations

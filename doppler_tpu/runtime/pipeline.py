@@ -175,7 +175,7 @@ class Pipeline:
             pairs = np.empty((total_samples, 2), dtype="<f4")
             pairs[:, 0] = planes[0, :total_samples]
             pairs[:, 1] = planes[1, :total_samples]
-            return pairs.tobytes()
+            return codec.f32_pairs_to_bytes(pairs)
         flat = np.asarray(out).reshape(-1, 2)
         return codec.f32_pairs_to_bytes(flat[:total_samples])
 

@@ -1,4 +1,4 @@
-"""Telemetry & logging — stderr-only, data-plane/телеметry-plane separation.
+"""Telemetry & logging — stderr-only, data-plane/telemetry-plane separation.
 
 The reference logs via fern to **stderr** with format
 ``Y-m-dTH:M:S.mmm [LEVEL  module  line]  msg`` (main.rs:212-233) while the

@@ -82,9 +82,12 @@ def test_pallas_mixer_f32_in_i16_out_nan_guard():
     ei, eq = (np.asarray(a) for a in codec.i16_words_to_iq(jnp.asarray(want)))
     diff = np.maximum(np.abs(gi - ei), np.abs(gq - eq)) * 32768.0
     assert diff.max() <= 1.0 + 1e-3
-    # NaN lanes must encode to exactly 0 in both halves
+    # NaN lanes must encode to exactly 0 in both halves (a rotated NaN I
+    # poisons both output components, so I and Q words must both be 0)
     assert np.all(got[0, :16] & 0xFFFF == 0)
-    assert np.all(np.asarray(gq)[1, 100:110] == 0.0)
+    assert np.all((got[0, :16] >> 16) & 0xFFFF == 0)
+    assert np.all(got[1, 100:110] & 0xFFFF == 0)
+    assert np.all((got[1, 100:110] >> 16) & 0xFFFF == 0)
 
 
 def test_pallas_mixer_i16_in_f32_out():
