@@ -65,6 +65,26 @@ def parse_location(text: str):
     return vals["lat"], vals["lon"], vals["alt"]
 
 
+def parse_mesh(text: str) -> tuple[int, int]:
+    """``time=2,channel=4`` → (time, channel); either key may be omitted."""
+    vals = {"time": 1, "channel": 1}
+    for part in text.split(","):
+        key, _, raw = part.partition("=")
+        key = key.strip()
+        if key not in vals:
+            raise ValueError(
+                f"{text!r} isn't a valid value for --mesh "
+                "[use as: time=2,channel=4]"
+            )
+        try:
+            vals[key] = int(raw)
+        except ValueError:
+            raise ValueError(f"--mesh {key} must be an integer") from None
+    if vals["time"] < 1 or vals["channel"] < 1:
+        raise ValueError("--mesh axes must be >= 1")
+    return vals["time"], vals["channel"]
+
+
 def parse_time_utc(text: str) -> float:
     """``%Y-%m-%dT%H:%M:%S`` UTC → unix seconds (usage.rs:303-313)."""
     try:
@@ -119,6 +139,11 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
                    default="default", help="JAX platform override")
     p.add_argument("--log-level", default="info",
                    choices=["debug", "info", "warning", "error"])
+    p.add_argument("--mesh", default=None, metavar="SPEC",
+                   help="shard every chunk over a device mesh, e.g. "
+                        "'time=4' or 'time=2,channel=4' (channel>1 only in "
+                        "channels mode); emitted bytes are identical to the "
+                        "unsharded run")
     p.add_argument("--save-state", metavar="PATH", default=None,
                    help="write a resumable checkpoint (.npz) at EOF")
     p.add_argument("--load-state", metavar="PATH", default=None,
@@ -230,6 +255,23 @@ def main(argv=None, stdin=None, stdout=None) -> int:
 
     from doppler_tpu.runtime.pipeline import ConstScheduler, Pipeline
 
+    mesh = None
+    if args.mesh:
+        from doppler_tpu.parallel import make_mesh
+
+        try:
+            mesh_time, mesh_channel = parse_mesh(args.mesh)
+            if mesh_channel > 1 and args.mode != "channels":
+                raise ValueError(
+                    "--mesh channel>1 needs channels mode "
+                    "(a single stream has one channel)"
+                )
+            mesh = make_mesh(time=mesh_time, channel=mesh_channel)
+        except ValueError as e:
+            log.error("%s", e)
+            return 1
+        log.info("device mesh: time=%d channel=%d", mesh_time, mesh_channel)
+
     if args.mode == "channels":
         import os
 
@@ -253,14 +295,19 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         for s in specs:
             log.info("\tchannel %-16s center offset %+.0f Hz",
                      s.name, s.center_offset_hz)
-        mpipe = MultiChannelPipeline(
-            args.samplerate, args.intype, outtype, specs,
-            out_rate=args.resample_to,
-            block_bytes=args.block_bytes,
-            chunk_blocks=chunk_blocks,
-            quantize_ratio_f32=not args.exact_ratio,
-            impl=_resolve_impl(args.impl),
-        )
+        try:
+            mpipe = MultiChannelPipeline(
+                args.samplerate, args.intype, outtype, specs,
+                out_rate=args.resample_to,
+                block_bytes=args.block_bytes,
+                chunk_blocks=chunk_blocks,
+                quantize_ratio_f32=not args.exact_ratio,
+                impl=_resolve_impl(args.impl),
+                mesh=mesh,
+            )
+        except ValueError as e:
+            log.error("%s", e)
+            return 1
         os.makedirs(args.output_dir, exist_ok=True)
         writers = [
             open(os.path.join(args.output_dir, f"{s.name}.iq"), "wb")
@@ -324,22 +371,28 @@ def main(argv=None, stdin=None, stdout=None) -> int:
             log.error("%s", e)
             return 1
 
-    pipe = Pipeline(
-        args.samplerate,
-        args.intype,
-        outtype,
-        scheduler,
-        block_bytes=args.block_bytes,
-        chunk_blocks=chunk_blocks,
-        quantize_ratio_f32=not args.exact_ratio,
-        impl=_resolve_impl(args.impl),
-        drain_on_eof=args.drain,
-        prefetch_chunks=args.prefetch_chunks,
-    )
-    if args.resample_to is not None:
-        from doppler_tpu.ops.resample import attach_resampler
+    try:
+        pipe = Pipeline(
+            args.samplerate,
+            args.intype,
+            outtype,
+            scheduler,
+            block_bytes=args.block_bytes,
+            chunk_blocks=chunk_blocks,
+            quantize_ratio_f32=not args.exact_ratio,
+            impl=_resolve_impl(args.impl),
+            drain_on_eof=args.drain,
+            prefetch_chunks=args.prefetch_chunks,
+            mesh=mesh,
+        )
+        if args.resample_to is not None:
+            from doppler_tpu.ops.resample import attach_resampler
 
-        attach_resampler(pipe, args.resample_to, stages=args.resample_stages)
+            attach_resampler(pipe, args.resample_to,
+                             stages=args.resample_stages)
+    except ValueError as e:
+        log.error("%s", e)
+        return 1
 
     if args.load_state:
         from doppler_tpu.runtime import checkpoint

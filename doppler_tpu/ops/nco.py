@@ -26,14 +26,14 @@ with zero communication.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from doppler_tpu.ops import fixedpoint as fxp
+from doppler_tpu.ops.sincos import sincos_q24_neg
 
 __all__ = ["nco_corrector_blocks", "mix", "mix_blocks"]
-
-_TWO_PI = np.float32(2.0 * np.pi)
 
 
 def _phase_q32_with_offset(j, d_hi, d_lo, c_hi, c_lo):
@@ -55,8 +55,10 @@ def nco_corrector_blocks(d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t, offsets):
     q_a = _phase_q32_with_offset(offsets, d_hi, d_lo, c1_hi, c1_lo)
     q_b = _phase_q32_with_offset(offsets, d_hi, d_lo, c2_hi, c2_lo)
     q32 = jnp.where(offsets < t.astype(jnp.uint32), q_a, q_b)
-    theta = -_TWO_PI * fxp.phase_cycles_f32(q32)
-    return jnp.cos(theta), jnp.sin(theta)
+    # top 24 phase bits (f32 would keep no more) → deterministic polynomial
+    # tone — identical bytes under any sharding/fusion (see ops.sincos)
+    q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
+    return sincos_q24_neg(q24)
 
 
 def mix(i, q, d_hi, d_lo, c_hi=0, c_lo=0):

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from doppler_tpu.ops.sincos import sincos_q24_neg
+
 __all__ = ["mix_blocks_pallas", "mix_blocks_pallas_fmt"]
 
 _MASK16 = np.uint32(0xFFFF)
@@ -44,38 +46,9 @@ def _umulhi32(a, b):
     return hh + (lh >> 16) + (hl >> 16) + (mid >> 16)
 
 
-def _sincos_q24(q24):
-    """(cos θ, sin θ) for θ = −2π·q24·2⁻²⁴, q24 an int32 phase in [0, 2²⁴).
-
-    Quarter-wave folding with the quadrant taken from the top 2 phase bits
-    (integer-exact — no floor/fmod) and a shared-x² polynomial pair on
-    [0, π/2).  Max error ≈ 4.9e-7 ≈ 2 ulp — the same order as evaluating
-    f32 cos/sin directly, but roughly half the VPU ops of two independent
-    transcendental calls with range reduction (measured ~1.3 ms per 33.5M
-    samples on v5e).
-    """
-    quad = q24 >> 22                                       # 0..3
-    frac = (q24 & jnp.int32(0x3FFFFF)).astype(jnp.float32)
-    x = frac * jnp.float32((np.pi / 2) * 2.0 ** -22)       # [0, π/2)
-    x2 = x * x
-    s_p = x * (
-        jnp.float32(0.9999999660) + x2 * (
-            jnp.float32(-0.1666665247) + x2 * (
-                jnp.float32(0.0083330520) + x2 * (
-                    jnp.float32(-0.0001980742)
-                    + x2 * jnp.float32(2.6019031e-06)))))
-    c_p = jnp.float32(1.0) + x2 * (
-        jnp.float32(-0.4999999963) + x2 * (
-            jnp.float32(0.0416666418) + x2 * (
-                jnp.float32(-0.0013888397) + x2 * (
-                    jnp.float32(0.0000247609)
-                    + x2 * jnp.float32(-2.605e-07)))))
-    k0 = quad == 0
-    k1 = quad == 1
-    k2 = quad == 2
-    cos_u = jnp.where(k0, c_p, jnp.where(k1, -s_p, jnp.where(k2, -c_p, s_p)))
-    sin_u = jnp.where(k0, s_p, jnp.where(k1, c_p, jnp.where(k2, -s_p, -c_p)))
-    return cos_u, -sin_u                                   # θ = −2π·u
+# the tone evaluation lives in ops.sincos (shared with the XLA mixer so both
+# paths emit identical bytes); measured ~1.3 ms per 33.5M samples on v5e
+_sincos_q24 = sincos_q24_neg
 
 
 def _make_mixer_kernel(W: int, intype: str = "i16", outtype: str = "i16"):

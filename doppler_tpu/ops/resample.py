@@ -30,14 +30,37 @@ import jax.numpy as jnp
 
 from doppler_tpu.ops.filters import design_polyphase_bank
 
-__all__ = ["RationalResampler", "resample_oracle"]
+__all__ = ["RationalResampler", "resample_oracle", "window_dot"]
 
 
-@partial(jax.jit, static_argnames=("P", "Q", "T", "M"))
-def _resample_kernel(xi, xq, bank_rev, rem0, off0, *, P, Q, T, M):
-    """Resample M outputs from the padded input window.
+def _tree_sum_last(x):
+    """Fixed-order pairwise sum over the last axis.
 
-    ``xi, xq``    : (H + N,) planar input, where index 0 sits T−1 samples
+    ``jnp.sum`` lowers to an XLA ``reduce`` whose association order is
+    backend/shape/fusion dependent; the resulting 1-ulp differences break
+    the pinned bitwise equality between the streaming, chunked, and
+    mesh-sharded paths (SURVEY §4c).  An explicit power-of-two pairwise
+    tree is a chain of ordinary f32 adds — IEEE-exact per HLO op — so every
+    path rounds identically regardless of batch shape or sharding.
+    """
+    n = x.shape[-1]
+    p = 1 << (n - 1).bit_length()
+    if p != n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, p - n)])
+    while x.shape[-1] > 1:
+        x = x[..., ::2] + x[..., 1::2]
+    return x[..., 0]
+
+
+def window_dot(xi, xq, bank_rev, rem0, off0, *, P, Q, T, M):
+    """Resample M outputs from a padded input window — the one formulation.
+
+    Shared by the streaming path (below) and the mesh-sharded step
+    (``parallel.sharded``): both build the *same* jnp graph with a
+    fixed-order tap reduction, so a sharded run reproduces the
+    single-device run bitwise (SURVEY §4c).
+
+    ``xi, xq``    : (..., H + N) planar input, where index 0 sits T−1 samples
                     before the first output's newest-needed sample.
     ``bank_rev``  : (P, T) bank with taps reversed (so the window dot is a
                     forward gather: y = Σ_l rev[p, l] · x[base + l]).
@@ -53,9 +76,14 @@ def _resample_kernel(xi, xq, bank_rev, rem0, off0, *, P, Q, T, M):
     wi = jnp.take(xi, idx, axis=-1, mode="clip")       # (..., M, T)
     wq = jnp.take(xq, idx, axis=-1, mode="clip")
     taps = jnp.take(bank_rev, phase, axis=0)           # (M, T)
-    yi = jnp.sum(wi * taps, axis=-1)
-    yq = jnp.sum(wq * taps, axis=-1)
+    yi = _tree_sum_last(wi * taps)
+    yq = _tree_sum_last(wq * taps)
     return yi, yq
+
+
+@partial(jax.jit, static_argnames=("P", "Q", "T", "M"))
+def _resample_kernel(xi, xq, bank_rev, rem0, off0, *, P, Q, T, M):
+    return window_dot(xi, xq, bank_rev, rem0, off0, P=P, Q=Q, T=T, M=M)
 
 
 class RationalResampler:

@@ -1,0 +1,60 @@
+"""Quarter-wave polynomial sincos on a Q0.24 phase word — THE framework NCO.
+
+One numerical definition of the corrector tone, shared by the XLA mixer
+(``ops.nco``) and the fused Pallas kernels (``ops.pallas.mixer`` /
+``ops.pallas.chain``): integer-exact quadrant folding from the top 2 phase
+bits plus a shared-x² polynomial pair on [0, π/2).
+
+Why a polynomial instead of ``jnp.cos``/``jnp.sin``: libm transcendentals
+are *implementation-defined* — XLA picks different vectorized approximations
+depending on backend and fusion context, so the same phase can produce
+1-ulp-different tones between a single-device and an SPMD-partitioned run of
+the same program.  A fixed mul/add chain evaluates identically per element
+regardless of sharding, fusion, or batch shape, which is what makes the
+framework's sharding-equivalence contract *byte*-exact (SURVEY §4c) rather
+than merely SNR-exact.  Max error ≈ 4.9e-7 (≈2 ulp) — the same order as the
+libm calls, far below the reference's own f32 phase noise (SURVEY §3.4), and
+roughly half the VPU ops of two range-reduced transcendental calls.
+
+Replaces the reference's per-sample ``ccexpf`` C FFI (``src/complex.c:33-39``
+called from ``src/dsp.rs:122``) on both compute paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = ["sincos_q24_neg"]
+
+
+def sincos_q24_neg(q24):
+    """(cos θ, sin θ) for θ = −2π·q24·2⁻²⁴, q24 an int32 phase in [0, 2²⁴).
+
+    The negative angle matches the reference mixer's corrector
+    ``exp(-i·2π·frac(r·n))`` (dsp.rs:121-122).  Runs on any backend —
+    pure elementwise jnp, Mosaic-safe (no uint32→f32 casts, no libm).
+    """
+    quad = q24 >> 22                                       # 0..3
+    frac = (q24 & jnp.int32(0x3FFFFF)).astype(jnp.float32)
+    x = frac * jnp.float32((np.pi / 2) * 2.0 ** -22)       # [0, π/2)
+    x2 = x * x
+    s_p = x * (
+        jnp.float32(0.9999999660) + x2 * (
+            jnp.float32(-0.1666665247) + x2 * (
+                jnp.float32(0.0083330520) + x2 * (
+                    jnp.float32(-0.0001980742)
+                    + x2 * jnp.float32(2.6019031e-06)))))
+    c_p = jnp.float32(1.0) + x2 * (
+        jnp.float32(-0.4999999963) + x2 * (
+            jnp.float32(0.0416666418) + x2 * (
+                jnp.float32(-0.0013888397) + x2 * (
+                    jnp.float32(0.0000247609)
+                    + x2 * jnp.float32(-2.605e-07)))))
+    k0 = quad == 0
+    k1 = quad == 1
+    k2 = quad == 2
+    cos_u = jnp.where(k0, c_p, jnp.where(k1, -s_p, jnp.where(k2, -c_p, s_p)))
+    sin_u = jnp.where(k0, s_p, jnp.where(k1, c_p, jnp.where(k2, -s_p, -c_p)))
+    return cos_u, -sin_u                                   # θ = −2π·u

@@ -31,8 +31,15 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from doppler_tpu.ops import codec, nco
+from doppler_tpu.ops.resample import window_dot
 
-__all__ = ["make_sharded_step", "shard_valid_out_counts"]
+__all__ = [
+    "make_sharded_step",
+    "shard_valid_out_counts",
+    "shard_alignment",
+    "make_wideband_mix_step",
+    "make_wideband_stream_step",
+]
 
 
 def shard_valid_out_counts(n_samples_per_shard: int, n_time: int, P_: int, Q_: int):
@@ -155,3 +162,180 @@ def make_sharded_step(
         return jnp.stack([yi, yq], axis=-1)           # (C, n_time, M_max, 2)
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Streaming product path: the steps the CLI/pipelines actually run (--mesh)
+# ---------------------------------------------------------------------------
+
+def shard_alignment(s_abs: int, n_loc: int, n_time: int, P_: int, Q_: int):
+    """Host: exact per-time-shard resample alignment for one full chunk.
+
+    The chunk's first input has absolute index ``s_abs``; shard k owns inputs
+    ``[s_abs + k·n_loc, s_abs + (k+1)·n_loc)`` and therefore the outputs m
+    whose newest-needed input ``⌊mQ/P⌋`` lands in that range.  Exact Python
+    ints — O(n_time) per chunk, valid for arbitrary stream length (the device
+    only ever sees the small per-shard residues).
+
+    Returns ``(rem, off, counts)``: int32 arrays ``(n_time,)`` of each
+    shard's first-output phase remainder and window offset, plus the Python
+    list of valid output counts per shard (for host-side slicing).
+    """
+    ms = [-(-(s_abs + k * n_loc) * P_ // Q_) for k in range(n_time + 1)]
+    rem = np.zeros(n_time, np.int32)
+    off = np.zeros(n_time, np.int32)
+    for k in range(n_time):
+        a_k = s_abs + k * n_loc
+        rem[k] = (ms[k] * Q_) % P_
+        off[k] = (ms[k] * Q_) // P_ - a_k
+    counts = [ms[k + 1] - ms[k] for k in range(n_time)]
+    return rem, off, counts
+
+
+def _decode_broadcast(data, C_loc: int, intype: str):
+    """Local (B_loc, L[, 2]) wire chunk → per-channel planar (C_loc, B_loc, L)."""
+    if intype == "i16":
+        i, q = codec.i16_words_to_iq(data)
+    else:
+        i, q = data[..., 0], data[..., 1]
+    i = jnp.broadcast_to(i[None], (C_loc,) + i.shape)
+    q = jnp.broadcast_to(q[None], (C_loc,) + q.shape)
+    return i, q
+
+
+def make_wideband_mix_step(mesh, *, intype: str, outtype: str, C: int):
+    """Sharded mix-only step over a shared wideband chunk.
+
+    ``step(data, d_hi, …, t)``: ``data`` is one (B, L) i16-word — or
+    (B, L, 2) f32 — chunk, time-sharded and *replicated* over the channel
+    axis; plans are (C, B) uint32 sharded ('channel', 'time').  Returns
+    (C, B, L[, 2]) encoded per-channel streams.  C = 1 is the single-stream
+    pipeline; C > 1 is channels mode (reference analog: C concurrent
+    ``doppler`` processes fed by one capture, main.rs:113-205).
+    """
+    n_chan = mesh.shape["channel"]
+    if C % n_chan:
+        raise ValueError(f"channels {C} must divide over mesh channel={n_chan}")
+    C_loc = C // n_chan
+    data_spec = P("time", None) if intype == "i16" else P("time", None, None)
+    out_spec = (
+        P("channel", "time", None) if outtype == "i16"
+        else P("channel", "time", None, None)
+    )
+
+    def local(data, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t):
+        i, q = _decode_broadcast(data, C_loc, intype)
+        i, q = nco.mix_blocks(i, q, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t)
+        if outtype == "i16":
+            return codec.iq_to_i16_words(i, q)
+        return jnp.stack([i, q], axis=-1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(data_spec,) + (P("channel", "time"),) * 7,
+        out_specs=out_spec,
+    )
+    return jax.jit(fn)
+
+
+def make_wideband_stream_step(mesh, *, intype: str, outtype: str, C: int,
+                              resampler):
+    """Sharded streaming mix+resample step — the full per-chunk device
+    program for ``--mesh`` runs with ``--resample-to``.
+
+    ``step(data, d_hi, …, t, hist_i, hist_q, rem, off)`` where
+
+    - ``data``           : (B, L) i16 words / (B, L, 2) f32, sharded
+                           ('time',), replicated over 'channel';
+    - plans              : (C, B) uint32, sharded ('channel', 'time');
+    - ``hist_i/hist_q``  : (C, T−1) mixed-sample history entering the chunk
+                           (previous chunk's tail), replicated over 'time';
+    - ``rem/off``        : (n_time,) int32 from :func:`shard_alignment`,
+                           replicated (each shard picks its own entry).
+
+    Returns ``(out, tail_i, tail_q)``: out is (C, n_time, M_max[, 2])
+    per-shard-padded encoded outputs (slice with the alignment counts and
+    concatenate in shard order); tails are (C, n_time, T−1) mixed samples —
+    row [:, −1] is the next chunk's history.
+
+    Interior shards receive their T−1-sample left halo from the time
+    neighbor via ``lax.ppermute`` (ICI on hardware); shard 0 uses the carried
+    history.  The resample itself is :func:`doppler_tpu.ops.resample
+    .window_dot` — the identical graph the single-device streaming path
+    runs, so mesh output is byte-identical to the unsharded run.
+
+    Bitwise identity needs more than the same jnp graph: XLA's backends may
+    contract mul+add chains (the tone polynomial, the tap products) into
+    FMAs *differently depending on the surrounding fusion*, so one fully
+    fused program can round 1-ulp apart from the unsharded pipeline's
+    three separate dispatches (``_chunk_kernel`` → ``_resample_kernel`` →
+    ``_encode_kernel``).  The local function therefore mirrors those exact
+    program boundaries with ``lax.optimization_barrier`` islands — each
+    island's HLO matches its unsharded twin (including the mixed-pairs
+    ``stack``, which alone changes XLA:CPU's contraction choices), so each
+    compiles to the same per-element arithmetic.
+    """
+    n_time = mesh.shape["time"]
+    n_chan = mesh.shape["channel"]
+    if C % n_chan:
+        raise ValueError(f"channels {C} must divide over mesh channel={n_chan}")
+    C_loc = C // n_chan
+    Pr, Qr, T = resampler.P, resampler.Q, resampler.T
+    H = T - 1
+    bank_rev = jnp.asarray(resampler.bank[:, ::-1].copy())
+    data_spec = P("time", None) if intype == "i16" else P("time", None, None)
+    out_spec = (
+        P("channel", "time", None) if outtype == "i16"
+        else P("channel", "time", None, None)
+    )
+
+    def local(data, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
+              hist_i, hist_q, rem, off):
+        # island 1 — decode+mix+stack, the _chunk_kernel/_channels_mix_kernel
+        # (outtype='f32') program verbatim, fenced so downstream ops can't
+        # re-fuse (and re-round) the tone polynomial
+        i, q = _decode_broadcast(data, C_loc, intype)
+        i, q = nco.mix_blocks(i, q, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t)
+        pairs = jax.lax.optimization_barrier(jnp.stack([i, q], axis=-1))
+        planar = pairs.reshape(C_loc, -1, 2)
+        mi = planar[..., 0]
+        mq = planar[..., 1]
+        n_loc = mi.shape[-1]
+        if n_loc * Pr >= (1 << 31):
+            raise ValueError("time shard too large for 32-bit phase math")
+        M_max = n_loc * Pr // Qr + 2
+
+        tidx = lax.axis_index("time")
+        tail_i = mi[:, n_loc - H:]
+        tail_q = mq[:, n_loc - H:]
+        if n_time > 1:
+            perm = [(k, k + 1) for k in range(n_time - 1)]
+            halo_i = lax.ppermute(tail_i, "time", perm=perm)
+            halo_q = lax.ppermute(tail_q, "time", perm=perm)
+            left_i = jnp.where(tidx == 0, hist_i, halo_i)
+            left_q = jnp.where(tidx == 0, hist_q, halo_q)
+        else:
+            left_i, left_q = hist_i, hist_q
+        # island 2 — the _resample_kernel program
+        xi = jnp.concatenate([left_i, mi], axis=-1)
+        xq = jnp.concatenate([left_q, mq], axis=-1)
+        yi, yq = window_dot(xi, xq, bank_rev, rem[tidx], off[tidx],
+                            P=Pr, Q=Qr, T=T, M=M_max)
+        # island 3 — the _encode_kernel program
+        yi, yq = jax.lax.optimization_barrier((yi, yq))
+        if outtype == "i16":
+            out = codec.iq_to_i16_words(yi, yq)[:, None, :]
+        else:
+            out = jnp.stack([yi, yq], axis=-1)[:, None, :, :]
+        return out, tail_i[:, None, :], tail_q[:, None, :]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(data_spec,) + (P("channel", "time"),) * 7
+        + (P("channel", None), P("channel", None), P(), P()),
+        out_specs=(out_spec,
+                   P("channel", "time", None), P("channel", "time", None)),
+    )
+    return jax.jit(fn)

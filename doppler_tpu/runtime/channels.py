@@ -98,6 +98,7 @@ class MultiChannelPipeline:
         reset_quirk: bool = True,
         impl: str = "xla",
         pallas_interpret: bool = False,
+        mesh=None,
     ):
         if not channels:
             raise ValueError("need at least one channel")
@@ -137,6 +138,48 @@ class MultiChannelPipeline:
         self.pallas_interpret = pallas_interpret
         self._chain_carries = None    # per-channel fused-chain FIR carries
         self._chain_taps = None
+
+        # --mesh: channels × time-blocks SPMD (BASELINE config 5 topology).
+        # Bytes must match the unsharded run exactly; unsupported structures
+        # (mixed per-channel rates, multi-stage cascades) fall back.
+        self.mesh = mesh
+        self._sharded_mix_step = None
+        self._sharded_rs_step = None
+        if mesh is not None:
+            C = len(channels)
+            n_chan = mesh.shape.get("channel", 1)
+            n_time = mesh.shape["time"]
+            if C % n_chan:
+                raise ValueError(
+                    f"{C} channels must divide over mesh channel={n_chan}"
+                )
+            if self.chunk_blocks % n_time:
+                raise ValueError(
+                    f"chunk_blocks={self.chunk_blocks} must be divisible by "
+                    f"mesh time={n_time}"
+                )
+            rs = self.resampler
+            if not self._uniform:
+                log.warning(
+                    "mesh mode: mixed per-channel output rates have no "
+                    "sharded step yet — running unsharded"
+                )
+            elif rs is not None and getattr(rs, "bank", None) is None:
+                log.warning(
+                    "mesh mode: multi-stage resampler has no sharded step "
+                    "yet — running unsharded"
+                )
+            elif rs is not None:
+                n_loc = self.chunk_blocks * self.block_samples // n_time
+                if rs.T - 1 > n_loc:
+                    raise ValueError(
+                        f"resampler history ({rs.T - 1}) exceeds one time "
+                        f"shard ({n_loc} samples); use fewer/larger chunks"
+                    )
+                if n_loc * rs.P >= (1 << 31):
+                    raise ValueError(
+                        "time shard too large for 32-bit phase math"
+                    )
 
     def _plan_all(self, counts):
         C = len(self.channels)
@@ -182,6 +225,11 @@ class MultiChannelPipeline:
             flat[: pairs.shape[0]] = pairs
             staged = flat.reshape(B, L, 2)
 
+        if self.mesh is not None:
+            sharded = self._process_chunk_sharded(staged, fields, total)
+            if sharded is not None:
+                return sharded
+
         chain_out = self._try_chain(staged, fields, total)
         if chain_out is not None:
             return chain_out
@@ -226,6 +274,84 @@ class MultiChannelPipeline:
             for row, cidx in enumerate(idxs):
                 outs[cidx] = to_bytes(flat_out[row])
         return outs
+
+    def _process_chunk_sharded(self, staged, fields, total: int):
+        """--mesh device step: channels × time shard_map over the wideband
+        chunk.  Returns per-channel bytes, or None to fall through to the
+        unsharded path (mixed rates, cascades, or — with a resampler — the
+        partial EOF chunk, which runs single-device off the mesh-maintained
+        history so bytes stay identical)."""
+        from jax.sharding import NamedSharding, PartitionSpec as Spec
+
+        from doppler_tpu.parallel.sharded import (
+            make_wideband_mix_step,
+            make_wideband_stream_step,
+            shard_alignment,
+        )
+
+        if not self._uniform:
+            return None
+        rs = self.resampler
+        C = len(self.channels)
+        B, L = self.chunk_blocks, self.block_samples
+        n_time = self.mesh.shape["time"]
+        data_spec = (
+            Spec("time", None) if self.intype == "i16"
+            else Spec("time", None, None)
+        )
+        plan_sh = NamedSharding(self.mesh, Spec("channel", "time"))
+
+        def put_inputs():
+            data = jax.device_put(
+                jnp.asarray(staged), NamedSharding(self.mesh, data_spec)
+            )
+            plans = [jax.device_put(jnp.asarray(a), plan_sh) for a in fields]
+            return data, plans
+
+        def to_bytes(row) -> bytes:
+            if self.outtype == "i16":
+                return codec.i16_words_to_bytes(row)
+            return codec.f32_pairs_to_bytes(row)
+
+        if rs is None:
+            if self._sharded_mix_step is None:
+                self._sharded_mix_step = make_wideband_mix_step(
+                    self.mesh, intype=self.intype, outtype=self.outtype, C=C
+                )
+            data, plans = put_inputs()
+            out = self._sharded_mix_step(data, *plans)
+            if self.outtype == "i16":
+                flat = np.asarray(out).reshape(C, -1)[:, :total]
+            else:
+                flat = np.asarray(out).reshape(C, -1, 2)[:, :total]
+            return [to_bytes(flat[c]) for c in range(C)]
+
+        if getattr(rs, "bank", None) is None or total != B * L:
+            return None
+        if self._sharded_rs_step is None:
+            self._sharded_rs_step = make_wideband_stream_step(
+                self.mesh, intype=self.intype, outtype=self.outtype,
+                C=C, resampler=rs,
+            )
+        rem, off, out_counts = shard_alignment(
+            rs.in_consumed, B * L // n_time, n_time, rs.P, rs.Q
+        )
+        hist_sh = NamedSharding(self.mesh, Spec("channel", None))
+        hist_i = jax.device_put(jnp.asarray(rs._hist_i), hist_sh)
+        hist_q = jax.device_put(jnp.asarray(rs._hist_q), hist_sh)
+        data, plans = put_inputs()
+        out, tail_i, tail_q = self._sharded_rs_step(
+            data, *plans, hist_i, hist_q, jnp.asarray(rem), jnp.asarray(off)
+        )
+        rs.m_next += sum(out_counts)
+        rs.in_consumed += total
+        rs._hist_i = tail_i[:, -1]
+        rs._hist_q = tail_q[:, -1]
+        self._chain_carries = None
+        arr = np.asarray(out)                 # (C, n_time, M_max[, 2])
+        parts = [arr[:, k, :c] for k, c in enumerate(out_counts)]
+        flat = np.concatenate(parts, axis=1)
+        return [to_bytes(flat[c]) for c in range(C)]
 
     def _try_chain(self, staged, fields, total: int):
         """Fused Pallas chain per channel (impl='pallas', uniform-rate i16

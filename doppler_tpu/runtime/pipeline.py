@@ -106,6 +106,7 @@ class Pipeline:
         pallas_interpret: bool = False,
         drain_on_eof: bool = False,
         prefetch_chunks: int = 0,
+        mesh=None,
     ):
         if samplerate <= 0:
             raise ValueError("samplerate must be positive")
@@ -137,9 +138,47 @@ class Pipeline:
         self._sample_offset = 0  # absolute index of next input sample
         self.resampler = None
 
+        # --mesh: shard the chunk over a (channel=1, time=T) device mesh.
+        # The device program changes (shard_map + ppermute halos) but the
+        # emitted bytes must not: sharded output is byte-identical to the
+        # single-device run (tests/test_sharded_pipeline.py pins this).
+        self.mesh = mesh
+        self._sharded_mix_step = None
+        self._sharded_rs_step = None
+        if mesh is not None:
+            if mesh.shape.get("channel", 1) != 1:
+                raise ValueError(
+                    "single-stream pipeline needs mesh channel=1 "
+                    "(use channels mode for channel parallelism)"
+                )
+            n_time = mesh.shape["time"]
+            if self.chunk_blocks % n_time:
+                raise ValueError(
+                    f"chunk_blocks={self.chunk_blocks} must be divisible by "
+                    f"mesh time={n_time}"
+                )
+
     def set_resampler(self, resampler) -> None:
         """Insert a post-mix resampler stage (see ops.resample)."""
         self.resampler = resampler
+        if self.mesh is None:
+            return
+        if getattr(resampler, "bank", None) is None:
+            log.warning(
+                "mesh mode: multi-stage resampler has no sharded step yet — "
+                "resampling runs on the default device"
+            )
+            return
+        n_loc = (
+            self.chunk_blocks * self.block_samples // self.mesh.shape["time"]
+        )
+        if resampler.T - 1 > n_loc:
+            raise ValueError(
+                f"resampler history ({resampler.T - 1} samples) exceeds one "
+                f"time shard ({n_loc} samples); use fewer/larger chunks"
+            )
+        if n_loc * resampler.P >= (1 << 31):
+            raise ValueError("time shard too large for 32-bit phase math")
 
     # -- staging ------------------------------------------------------------
 
@@ -189,6 +228,15 @@ class Pipeline:
         """Materialize a dispatched chunk's bytes (blocks on the device)."""
         if pending is None:
             return b""
+        if isinstance(pending[0], str) and pending[0] == "sharded_rs":
+            # (tag, (1, n_time, M_max[, 2]) device array, per-shard counts)
+            _, out, out_counts = pending
+            arr = np.asarray(out)
+            if self.outtype == "i16":
+                parts = [arr[0, k, :c] for k, c in enumerate(out_counts)]
+                return codec.i16_words_to_bytes(np.concatenate(parts))
+            parts = [arr[0, k, :c, :] for k, c in enumerate(out_counts)]
+            return codec.f32_pairs_to_bytes(np.concatenate(parts))
         out, n_valid, planar = pending
         return self._stage_out(out, n_valid, planar=planar)
 
@@ -220,6 +268,9 @@ class Pipeline:
                 plan.c2_hi, plan.c2_lo, plan.t]
         if pad:
             arrs = [np.pad(a, (0, pad)) for a in arrs]
+
+        if self.mesh is not None:
+            return self._dispatch_sharded(chunk, arrs, total)
 
         mix_outtype = self.outtype if self.resampler is None else "f32"
         L = self.block_samples
@@ -316,6 +367,87 @@ class Pipeline:
         )
         # any future pallas-chain chunk must reseed its carry from rs history
         self._chain_carry = None
+        enc = _encode_kernel(yi, yq, outtype=self.outtype)
+        return (enc, n_out, False)
+
+    def _dispatch_sharded(self, chunk: streaming.Chunk, arrs, total: int):
+        """--mesh chunk dispatch: shard_map steps over the (1, time) mesh.
+
+        Full chunks with a single-stage resampler run the fused sharded
+        stream step (mix + ppermute halo + window_dot per shard); mix-only
+        streams run the sharded mix step for every chunk.  The partial EOF
+        chunk — and multi-stage cascades — take the single-device path,
+        seeded with the mesh-maintained history, so the emitted bytes stay
+        identical to an unsharded run.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as Spec
+
+        from doppler_tpu.parallel.sharded import (
+            make_wideband_mix_step,
+            make_wideband_stream_step,
+            shard_alignment,
+        )
+
+        B, L = self.chunk_blocks, self.block_samples
+        rs = self.resampler
+        n_time = self.mesh.shape["time"]
+        staged = self._stage_in(chunk.data, total)
+        data_spec = (
+            Spec("time", None) if self.intype == "i16"
+            else Spec("time", None, None)
+        )
+        data = jax.device_put(
+            jnp.asarray(staged), NamedSharding(self.mesh, data_spec)
+        )
+        plan_sh = NamedSharding(self.mesh, Spec("channel", "time"))
+        plans = [jax.device_put(jnp.asarray(a)[None], plan_sh) for a in arrs]
+
+        if rs is None:
+            if self._sharded_mix_step is None:
+                self._sharded_mix_step = make_wideband_mix_step(
+                    self.mesh, intype=self.intype, outtype=self.outtype, C=1
+                )
+            out = self._sharded_mix_step(data, *plans)
+            self._sample_offset += total
+            return (out, total, False)
+
+        if getattr(rs, "bank", None) is not None and total == B * L:
+            if self._sharded_rs_step is None:
+                self._sharded_rs_step = make_wideband_stream_step(
+                    self.mesh, intype=self.intype, outtype=self.outtype,
+                    C=1, resampler=rs,
+                )
+            rem, off, out_counts = shard_alignment(
+                rs.in_consumed, B * L // n_time, n_time, rs.P, rs.Q
+            )
+            hist_sh = NamedSharding(self.mesh, Spec("channel", None))
+            hist_i = jax.device_put(
+                jnp.asarray(rs._hist_i).reshape(1, -1), hist_sh
+            )
+            hist_q = jax.device_put(
+                jnp.asarray(rs._hist_q).reshape(1, -1), hist_sh
+            )
+            out, tail_i, tail_q = self._sharded_rs_step(
+                data, *plans, hist_i, hist_q,
+                jnp.asarray(rem), jnp.asarray(off),
+            )
+            rs.m_next += sum(out_counts)
+            rs.in_consumed += total
+            rs._hist_i = tail_i[0, -1]
+            rs._hist_q = tail_q[0, -1]
+            self._sample_offset += total
+            return ("sharded_rs", out, out_counts)
+
+        # partial EOF chunk (or cascade): single-device, history-seeded
+        out = _chunk_kernel(
+            jnp.asarray(staged), *(jnp.asarray(a) for a in arrs),
+            intype=self.intype, outtype="f32",
+        )
+        self._sample_offset += total
+        flat = out.reshape(-1, 2)
+        yi, yq, n_out = rs.process(
+            flat[:, 0], flat[:, 1], total, M=rs.max_out_for(B * L)
+        )
         enc = _encode_kernel(yi, yq, outtype=self.outtype)
         return (enc, n_out, False)
 

@@ -1,0 +1,218 @@
+"""--mesh product-path tests: sharded runs must emit byte-identical streams.
+
+VERDICT r1 item 1: the parallel/ package must be consumed by the actual
+CLI/pipelines, and a mesh run must reproduce the single-device run *bytes*
+(not just SNR) — guaranteed by the shared deterministic tone (ops.sincos)
+and the shared resample formulation (ops.resample.window_dot), and pinned
+here on the 8-fake-device CPU mesh (SURVEY §4c).
+"""
+
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from doppler_tpu.parallel import make_mesh
+from doppler_tpu.runtime.pipeline import ConstScheduler, Pipeline
+from doppler_tpu.runtime.channels import ChannelSpec, MultiChannelPipeline
+from doppler_tpu.ops.resample import attach_resampler
+
+RNG = np.random.default_rng(0xD0)
+
+FS = 1024000
+
+
+class VaryScheduler:
+    """Track-like schedule: per-block varying shifts incl. reset-quirk-prone
+    rates (9660.609375/256000 fires rounding resets, SURVEY erratum)."""
+
+    def __init__(self):
+        self.k = 0
+
+    def shifts(self, block_counts):
+        out = []
+        for _ in block_counts:
+            out.append(9660.609375 - 3.25 * self.k)
+            self.k += 1
+        return out
+
+
+def i16_stream(n):
+    return RNG.integers(-20000, 20000, size=2 * n, dtype=np.int16).astype(
+        "<i2"
+    ).tobytes()
+
+
+def f32_stream(n):
+    return (0.4 * RNG.standard_normal(2 * n)).astype("<f4").tobytes()
+
+
+def run_pipe(raw, mesh, *, intype="i16", outtype="i16", resample=None,
+             scheduler=None, chunk_blocks=16):
+    pipe = Pipeline(FS, intype, outtype,
+                    scheduler or ConstScheduler(-15000.0),
+                    chunk_blocks=chunk_blocks, mesh=mesh)
+    if resample:
+        attach_resampler(pipe, resample)
+    out = io.BytesIO()
+    pipe.run(io.BytesIO(raw), out)
+    return out.getvalue()
+
+
+@pytest.fixture(scope="module")
+def devices_ok():
+    assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+
+
+def test_mesh_const_mix_identical(devices_ok):
+    raw = i16_stream(2048 * 16 * 2 + 5000)   # 2 full chunks + partial tail
+    a = run_pipe(raw, None)
+    b = run_pipe(raw, make_mesh(time=4, channel=1))
+    assert a == b and len(a) == len(raw)
+
+
+def test_mesh_const_f32_identical(devices_ok):
+    raw = f32_stream(1024 * 16 + 300)
+    a = run_pipe(raw, None, intype="f32", outtype="f32")
+    b = run_pipe(raw, make_mesh(time=2, channel=1), intype="f32",
+                 outtype="f32")
+    assert a == b
+
+
+def test_mesh_resample_identical_any_width(devices_ok):
+    raw = i16_stream(2048 * 16 * 3 + 4321)
+    a = run_pipe(raw, None, resample=48000.0)
+    for n_time in (2, 4, 8):
+        b = run_pipe(raw, make_mesh(time=n_time, channel=1),
+                     resample=48000.0)
+        assert a == b, f"mesh time={n_time} diverged"
+
+
+def test_mesh_track_schedule_identical(devices_ok):
+    raw = i16_stream(2048 * 16 * 2 + 999)
+    a = run_pipe(raw, None, scheduler=VaryScheduler(), resample=48000.0)
+    b = run_pipe(raw, make_mesh(time=4, channel=1),
+                 scheduler=VaryScheduler(), resample=48000.0)
+    assert a == b
+
+
+def test_mesh_checkpoint_resume_bitwise(devices_ok):
+    """Stop a mesh run mid-stream, checkpoint, resume → identical bytes."""
+    from doppler_tpu.runtime import checkpoint
+
+    raw = i16_stream(2048 * 16 * 4)
+    full = run_pipe(raw, None, resample=48000.0)
+
+    cut = 2048 * 16 * 2 * 4  # bytes: 2 whole chunks
+    mesh = make_mesh(time=4, channel=1)
+    p1 = Pipeline(FS, "i16", "i16", ConstScheduler(-15000.0),
+                  chunk_blocks=16, mesh=mesh)
+    attach_resampler(p1, 48000.0)
+    out1 = io.BytesIO()
+    p1.run(io.BytesIO(raw[:cut]), out1)
+    state = io.BytesIO()
+    checkpoint.save(state, p1)
+    state.seek(0)
+
+    p2 = Pipeline(FS, "i16", "i16", ConstScheduler(-15000.0),
+                  chunk_blocks=16, mesh=mesh)
+    attach_resampler(p2, 48000.0)
+    meta = checkpoint.restore(state, p2)
+    assert meta["sample_offset"] * 4 == cut
+    out2 = io.BytesIO()
+    p2.run(io.BytesIO(raw[cut:]), out2)
+    assert out1.getvalue() + out2.getvalue() == full
+
+
+def test_mesh_channels_identical(devices_ok):
+    raw = i16_stream(2048 * 16 * 2 + 3000)
+
+    def specs():
+        return [
+            ChannelSpec(name=f"ch{k}",
+                        scheduler=ConstScheduler(-40000.0 + 9000 * k),
+                        center_offset_hz=500.0 * k)
+            for k in range(8)
+        ]
+
+    def run(mesh, out_rate):
+        mp = MultiChannelPipeline(FS, "i16", "i16", specs(),
+                                  out_rate=out_rate, chunk_blocks=16,
+                                  mesh=mesh)
+        outs = [io.BytesIO() for _ in range(8)]
+        mp.run(io.BytesIO(raw), outs)
+        return [o.getvalue() for o in outs]
+
+    for out_rate in (None, 48000):
+        a = run(None, out_rate)
+        b = run(make_mesh(time=2, channel=4), out_rate)
+        assert a == b, f"channels mesh diverged (out_rate={out_rate})"
+
+
+def test_mesh_validation_errors(devices_ok):
+    with pytest.raises(ValueError, match="channel=1"):
+        Pipeline(FS, "i16", "i16", ConstScheduler(0.0),
+                 mesh=make_mesh(time=2, channel=2))
+    with pytest.raises(ValueError, match="divisible"):
+        Pipeline(FS, "i16", "i16", ConstScheduler(0.0), chunk_blocks=3,
+                 mesh=make_mesh(time=2, channel=1))
+    with pytest.raises(ValueError, match="divide over mesh"):
+        MultiChannelPipeline(
+            FS, "i16", "i16",
+            [ChannelSpec(name="a", scheduler=ConstScheduler(0.0)),
+             ChannelSpec(name="b", scheduler=ConstScheduler(0.0)),
+             ChannelSpec(name="c", scheduler=ConstScheduler(0.0))],
+            mesh=make_mesh(time=2, channel=2),
+        )
+
+
+def test_cli_mesh_flag_identical(devices_ok, tmp_path):
+    """The full CLI surface: --mesh output == unmeshed output, bytes."""
+    raw = i16_stream(2048 * 40 + 1234)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_cli(extra):
+        proc = subprocess.run(
+            [sys.executable, "-m", "doppler_tpu", "const",
+             "-s", str(FS), "-i", "i16", "--shift", "-15000",
+             "--resample-to", "48000", "--chunk-blocks", "16",
+             "--platform", "cpu"] + extra,
+            input=raw, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            timeout=300, cwd=repo, env=env,
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+        return proc.stdout
+
+    a = run_cli([])
+    b = run_cli(["--mesh", "time=4"])
+    assert a == b and len(a) > 0
+
+
+def test_cli_mesh_rejects_channel_outside_channels_mode(devices_ok):
+    import logging
+
+    from doppler_tpu.cli import main
+
+    # main() installs the stderr handler and sets propagate=False on the
+    # framework logger; restore it so later caplog-based tests still see
+    # records (telemetry tests rely on propagation to the root logger).
+    logger = logging.getLogger("doppler_tpu")
+    saved = (list(logger.handlers), logger.propagate, logger.level)
+    try:
+        rc = main(["const", "-s", "256000", "-i", "i16", "--shift", "-100",
+                   "--mesh", "time=2,channel=2", "--platform", "cpu"],
+                  stdin=io.BytesIO(b""), stdout=io.BytesIO())
+        assert rc == 1
+    finally:
+        logger.handlers, logger.propagate = saved[0], saved[1]
+        logger.setLevel(saved[2])
