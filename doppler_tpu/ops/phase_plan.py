@@ -17,11 +17,13 @@ are phase-preserving to < 2^-40 cycles under the Q0.64 representation, so a
 single segment switch reproduces the reference's emitted phase to well below
 its own f32 noise floor.
 
-Reset detection mirrors the reference bit-for-bit: the mask is
-``f32(f32(ratio) · f32(n)) fract == 0`` evaluated vectorized per block.  Cost
-is O(samples) on the host but a single fused NumPy pass; for throughput-bound
-deployments ``reset_quirk=False`` skips it and uses pure absolute-index phase
-(cleaner output, zero host scan).
+Reset detection mirrors the reference bit-for-bit — ``f32(f32(ratio) ·
+f32(n)) fract == 0`` — but is *predicted analytically* in O(polylog) per
+block (:func:`_first_reset_analytic`): the f32 ratio is a dyadic rational
+P/2^s, so "the product rounds to an integer" is an integer residue-window
+condition solved with a Euclid-style recursion, valid for any counter value
+(no 2^24 cliff, no O(count) mask scan).  ``reset_quirk=False`` skips the
+quirk entirely and uses pure absolute-index phase (cleaner output).
 
 The counter is u32 in the reference and wraps in release builds; the state
 tracks it mod 2^32.
@@ -90,11 +92,10 @@ def _ratio_f32(shift_hz: float, samplerate: int) -> np.float32:
     return np.float32(np.float32(shift_hz) / np.float32(samplerate))
 
 
-def _first_reset(r32: np.float32, m0: int, count: int) -> int | None:
-    """Local index of the first samplenum reset in this block, else None.
+def _first_reset_scan(r32: np.float32, m0: int, count: int) -> int | None:
+    """O(count) vectorized mirror of dsp.rs:125-130 — the fuzz oracle.
 
-    Mirrors dsp.rs:125-130: reset fires at local j when
-    ``fract(f32(r32 · f32(m0 + j))) == 0``.
+    Reset fires at local j when ``fract(f32(r32 · f32(m0 + j))) == 0``.
     """
     if count == 0:
         return None
@@ -103,6 +104,129 @@ def _first_reset(r32: np.float32, m0: int, count: int) -> int | None:
     frac = prod - np.trunc(prod)         # Rust fract(): toward-zero remainder
     hits = np.nonzero(frac == np.float32(0.0))[0]
     return int(hits[0]) if hits.size else None
+
+
+def _is_reset(r32: np.float32, n: int) -> bool:
+    """Scalar f32 ground truth for one counter value (verifies candidates)."""
+    prod = np.float32(r32) * np.float64(n).astype(np.float32)
+    return bool(prod - np.trunc(prod) == np.float32(0.0))
+
+
+def _min_affine(a: int, b: int, m: int, R: int) -> int | None:
+    """Minimal k ≥ 0 with ``(a·k + b) mod m ≤ R`` — Euclid-style O(log m).
+
+    The workhorse of the analytic reset predictor: "when does the phase
+    residue next land inside the half-ulp window".  Each level reduces the
+    modulus like the Euclidean algorithm (m, a) → (a, (−m) mod a), so the
+    depth is O(log m) even for m = 2⁵³.
+    """
+    a %= m
+    b %= m
+    if b <= R:
+        return 0
+    if a == 0:
+        return None
+    if 2 * a > m:
+        # reflect: (a·k + b) mod m ≤ R ⟺ ((m−a)·k + (R−b)) mod m ≤ R,
+        # so the multiplier always halves and the recursion depth is O(log m)
+        return _min_affine(m - a, (R - b) % m, m, R)
+    # need c ≥ 1 wraps: a·k ∈ [c·m − b, c·m − b + R] for minimal c, i.e.
+    # ((b − m) − (c−1)·m) mod a ≤ R — the same problem one level down
+    c1 = _min_affine((-m) % a, (b - m) % a, a, R)
+    if c1 is None:
+        return None
+    c = 1 + c1
+    return -((-(c * m - b)) // a)        # ceil((c·m − b)/a)
+
+
+def _first_reset_analytic(r32: np.float32, m0: int, count: int) -> int | None:
+    """O(polylog) twin of :func:`_first_reset_scan` — exact, any counter size.
+
+    Write |r32| = P·2⁻ˢ with P odd (every finite f32 is a dyadic rational)
+    and n' = f32(n) = M·2ᵍ on the binade's mantissa grid.  The product the
+    reference tests is then exactly x = P·M·2^{g−s}, and ``fract(f32(x))==0``
+    iff x lies within half an ulp of an integer — an integer condition
+    ``(P·2ᵍ·M mod 2ˢ) ∈ [−H, H]`` with H = 2^{E−24+s} fixed per binade
+    E = ⌊log₂ x⌋.  Per (n-binade × x-binade) segment that minimal M is one
+    :func:`_min_affine` call; candidates sitting exactly on the half-ulp
+    boundary (ties, round-to-nearest-even) are verified against the scalar
+    f32 expression and skipped if they round away.  Replaces the O(count)
+    mask scan in the ≥2²⁴-counter regime (VERDICT r1 "kill the O(samples)
+    plan scan"); fuzzed against the scan and the native sequential loop in
+    tests/test_phase_plan_analytic.py.
+    """
+    if count <= 0:
+        return None
+    if m0 == 0:
+        return 0                          # fract(±0·r) == 0 always fires
+    r = float(np.float32(r32))
+    if r == 0.0 or not np.isfinite(r):
+        return 0                          # prod ≡ ±0 (or NaN never equals 0)
+    fr, e = np.frexp(abs(r))              # |r| = fr·2^e, fr ∈ [0.5, 1)
+    P = int(fr * (1 << 53))               # exact: f32 → ≤24 significant bits
+    tz = (P & -P).bit_length() - 1
+    P >>= tz
+    s = 53 - int(e) - tz                  # |r| = P / 2^s, P odd
+    n_end = m0 + count                    # exclusive
+
+    n = m0
+    while n < n_end:
+        # n-binade [2^k, 2^{k+1}): f32(n) lives on the grid 2^g
+        k = n.bit_length() - 1
+        g = max(0, k - 23)
+        bin_end = min(1 << (k + 1), n_end)
+        # M range for this binade (M = f32(n)/2^g, round-half-even)
+        M_lo = (n + (1 << g) // 2) >> g if g else n
+        if g and ((n + (1 << g) // 2) % (1 << g) == 0) and (M_lo & 1):
+            M_lo -= 1                     # n is a tie rounding down to even
+        M_hi = (bin_end - 1 + (1 << g) // 2) >> g if g else bin_end - 1
+        M = M_lo
+        while M <= M_hi:
+            # x-binade split: E = ⌊log₂(P·M·2^{g−s})⌋ is constant until P·M
+            # crosses a power of two
+            pm_bits = (P * M).bit_length()
+            E = pm_bits - 1 + g - s
+            M_seg_hi = min(M_hi, ((1 << pm_bits) - 1) // P)
+            if E >= 23:
+                # ulp ≥ 1: every f32 at this magnitude is an integer
+                cand_M = M
+            else:
+                Hnum = E - 24 + s - g     # window: |P·M mod± 2^{s−g}| ≤ 2^Hnum
+                mod = 1 << max(0, s - g)
+                if mod == 1:
+                    cand_M = M            # x always a true integer
+                elif Hnum < 0:
+                    # window < 1: only exact multiples hit; P odd ⇒ 2^{s−g}|M
+                    step = mod
+                    cand_M = ((M + step - 1) // step) * step
+                    if cand_M > M_seg_hi:
+                        M = M_seg_hi + 1
+                        continue
+                else:
+                    H = 1 << Hnum
+                    A = P % mod
+                    kk = _min_affine(A, (A * M + H) % mod, mod, 2 * H)
+                    if kk is None or M + kk > M_seg_hi:
+                        M = M_seg_hi + 1
+                        continue
+                    cand_M = M + kk
+            # smallest n ≥ current position whose f32 is cand_M·2^g
+            if g:
+                half = 1 << (g - 1)
+                lo_n = cand_M * (1 << g) - half
+                if (cand_M & 1):          # odd target: tie rounds away
+                    lo_n += 1
+                cand_n = max(n, lo_n)
+            else:
+                cand_n = cand_M
+            if cand_n >= n_end:
+                return None
+            if _is_reset(r32, cand_n):
+                return cand_n - m0
+            # tie rounded away — resume just past the candidate
+            M = cand_M + 1
+        n = bin_end
+    return None
 
 
 def _exact_period(r32: np.float32) -> int | None:
@@ -124,7 +248,7 @@ def _state_after_run(r32: np.float32, v: int, count: int) -> int:
     """
     remaining = count
     while remaining > 0:
-        j = _first_reset(r32, v, remaining)
+        j = _first_reset_analytic(r32, v, remaining)
         if j is None:
             return (v + remaining) % (1 << 32)
         remaining -= j + 1        # samples left after the reset fires
@@ -220,7 +344,7 @@ def plan_blocks(
                 continue
 
         c1 = (m0 * d) % (1 << 64)
-        j0 = _first_reset(r32, m0, count)
+        j0 = _first_reset_analytic(r32, m0, count)
         if j0 is None:
             rows.append((d, c1, c1, block_len))
         else:
