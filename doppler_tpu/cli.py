@@ -285,12 +285,6 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         except (OSError, KeyError, ValueError) as e:
             log.error("bad channel config: %s", e)
             return 1
-        for flag, val in (("--drain", args.drain),
-                          ("--save-state", bool(args.save_state)),
-                          ("--load-state", bool(args.load_state))):
-            if val:
-                log.warning("%s is not supported in channels mode (ignored)",
-                            flag)
         log.info("multi-channel mode: %d channels", len(specs))
         for s in specs:
             log.info("\tchannel %-16s center offset %+.0f Hz",
@@ -304,20 +298,53 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                 quantize_ratio_f32=not args.exact_ratio,
                 impl=_resolve_impl(args.impl),
                 mesh=mesh,
+                drain_on_eof=args.drain,
             )
         except ValueError as e:
             log.error("%s", e)
             return 1
+
+        from doppler_tpu.runtime import checkpoint
+
+        if args.load_state:
+            try:
+                cmeta = checkpoint.restore_channels(args.load_state, mpipe)
+            except (ValueError, OSError) as e:
+                log.error("%s", e)
+                return 1
+            log.info("resumed at input sample %d (byte %d)",
+                     cmeta["samples_in"],
+                     cmeta["samples_in"] * stream_bps(args.intype))
+
+        stop_flag = {"stop": False}
+        if args.save_state:
+            import signal
+
+            def _on_signal(signum, frame):
+                stop_flag["stop"] = True
+
+            signal.signal(signal.SIGTERM, _on_signal)
+            signal.signal(signal.SIGINT, _on_signal)
+
         os.makedirs(args.output_dir, exist_ok=True)
+        # resuming appends to the per-channel files written before the cut
+        open_mode = "ab" if args.load_state else "wb"
         writers = [
-            open(os.path.join(args.output_dir, f"{s.name}.iq"), "wb")
+            open(os.path.join(args.output_dir, f"{s.name}.iq"), open_mode)
             for s in specs
         ]
         try:
-            counters = mpipe.run(stdin, writers)
+            counters = mpipe.run(stdin, writers,
+                                 should_stop=lambda: stop_flag["stop"])
         finally:
             for w in writers:
                 w.close()
+        if args.save_state:
+            checkpoint.save_channels(args.save_state, mpipe)
+            log.info("checkpoint written to %s", args.save_state)
+        if stop_flag["stop"]:
+            log.warning("stopped by signal after a consistent chunk boundary")
+            return 130
         log.info(
             "done: %d wideband samples × %d channels in %.3f s (%.3f Msps in)",
             counters.samples, len(specs), counters.elapsed(),

@@ -99,9 +99,12 @@ class MultiChannelPipeline:
         impl: str = "xla",
         pallas_interpret: bool = False,
         mesh=None,
+        drain_on_eof: bool = False,
     ):
         if not channels:
             raise ValueError("need at least one channel")
+        self.drain_on_eof = drain_on_eof
+        self.samples_in = 0     # absolute input samples consumed (checkpoint)
         self.samplerate = int(samplerate)
         self.intype = intype
         self.outtype = outtype
@@ -212,6 +215,7 @@ class MultiChannelPipeline:
                 self._plan_all(counts)
             return [b""] * C
         fields = self._plan_all(counts)
+        self.samples_in += total
 
         B, L = self.chunk_blocks, self.block_samples
         if self.intype == "i16":
@@ -412,12 +416,38 @@ class MultiChannelPipeline:
         out_host = np.asarray(out).reshape(C, -1)[:, :n_out]
         return [codec.i16_words_to_bytes(out_host[c]) for c in range(C)]
 
-    def run(self, fin, writers) -> Counters:
+    def drain(self) -> list[bytes]:
+        """Flush every resampler group's FIR tail with T−1 zero samples —
+        per-channel analog of Pipeline._drain (liquid-dsp flush semantics)."""
+        C = len(self.channels)
+        outs: list[bytes] = [b""] * C
+        for idxs, rs in self._groups:
+            if rs is None:
+                continue
+            pad = rs.T - 1
+            if pad <= 0:
+                continue
+            zeros = np.zeros((len(idxs), pad), dtype=np.float32)
+            yi, yq, n_out = rs.process(zeros, zeros, pad, M=rs.max_out_for(pad))
+            if n_out == 0:
+                continue
+            enc = np.asarray(_encode_kernel(yi, yq, outtype=self.outtype))
+            for row, cidx in enumerate(idxs):
+                if self.outtype == "i16":
+                    outs[cidx] = codec.i16_words_to_bytes(enc[row, :n_out])
+                else:
+                    outs[cidx] = codec.f32_pairs_to_bytes(enc[row, :n_out])
+        self._chain_carries = None    # histories advanced past the stream end
+        return outs
+
+    def run(self, fin, writers, should_stop=None) -> Counters:
         """Pump the stream; ``writers`` is one binary file object per channel."""
         assert len(writers) == len(self.channels)
         reader = streaming.BlockReader(fin, self.block_bytes)
         counters = Counters()
         while True:
+            if should_stop is not None and should_stop():
+                break
             chunk = reader.read_chunk(self.chunk_blocks)
             outs = self.process_chunk(chunk)
             for w, ob in zip(writers, outs):
@@ -431,6 +461,14 @@ class MultiChannelPipeline:
             )
             if chunk.eof:
                 break
+        else:  # pragma: no cover — loop exits via break only
+            pass
+        if self.drain_on_eof:
+            for w, ob in zip(writers, self.drain()):
+                if ob:
+                    w.write(ob)
+                    counters.add(samples=0, bytes_in=0,
+                                 bytes_out=len(ob), blocks=0)
         for w in writers:
             w.flush()
         return counters

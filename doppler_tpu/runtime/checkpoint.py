@@ -22,7 +22,7 @@ import numpy as np
 
 from doppler_tpu.ops.phase_plan import NCOState
 
-__all__ = ["save", "restore"]
+__all__ = ["save", "restore", "save_channels", "restore_channels"]
 
 _VERSION = 1
 
@@ -94,4 +94,89 @@ def restore(path: str, pipe) -> dict:
                 for name in z.files if name.startswith("rs_")
             }
             pipe.resampler.load_state(rstate)
+    return meta
+
+
+def save_channels(path: str, mpipe) -> None:
+    """Snapshot a MultiChannelPipeline (channels mode, SURVEY §5 A4).
+
+    Per-channel state: the NCO counter pair and the scheduler staircase.
+    Per rate-group: the batched resampler's (m_next, in_consumed, FIR
+    histories).  Fused-chain carries are NOT stored — they reseed exactly
+    from the resampler history on the next chunk (runtime.channels._try_chain),
+    which is what makes chain/XLA/mesh paths checkpoint-interoperable.
+    """
+    meta = {
+        "version": _VERSION,
+        "kind": "channels",
+        "samplerate": mpipe.samplerate,
+        "intype": mpipe.intype,
+        "outtype": mpipe.outtype,
+        "block_bytes": mpipe.block_bytes,
+        "samples_in": mpipe.samples_in,
+        "channels": [
+            {
+                "name": ch.name,
+                "nco_samplenum": ch.state.samplenum,
+                "nco_abs_offset": ch.state.abs_offset,
+                "scheduler": _scheduler_state(ch.scheduler),
+            }
+            for ch in mpipe.channels
+        ],
+        "groups": [list(idxs) for idxs, _ in mpipe._groups],
+    }
+    arrays = {"meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)}
+    for g, (idxs, rs) in enumerate(mpipe._groups):
+        if rs is None:
+            continue
+        for key, val in rs.state_dict().items():
+            arrays[f"g{g}_{key}"] = np.asarray(val)
+    np.savez(path, **arrays)
+
+
+def restore_channels(path: str, mpipe) -> dict:
+    """Load a channels-mode snapshot into a compatibly-configured pipeline.
+
+    Returns the metadata dict (``samples_in`` is the absolute input sample
+    at which the caller should resume feeding the wideband stream).
+    """
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"].tobytes()).decode())
+        if meta["version"] != _VERSION or meta.get("kind") != "channels":
+            raise ValueError("not a channels-mode checkpoint")
+        for key in ("samplerate", "intype", "outtype", "block_bytes"):
+            if meta[key] != getattr(mpipe, key):
+                raise ValueError(
+                    f"checkpoint {key}={meta[key]!r} does not match "
+                    f"pipeline {getattr(mpipe, key)!r}"
+                )
+        names_ckpt = [c["name"] for c in meta["channels"]]
+        names_pipe = [ch.name for ch in mpipe.channels]
+        if names_ckpt != names_pipe:
+            raise ValueError(
+                f"channel set changed: checkpoint {names_ckpt} vs "
+                f"config {names_pipe}"
+            )
+        if meta["groups"] != [list(idxs) for idxs, _ in mpipe._groups]:
+            raise ValueError("rate grouping changed since checkpoint")
+        for ch, st in zip(mpipe.channels, meta["channels"]):
+            ch.state.samplenum = int(st["nco_samplenum"])
+            ch.state.abs_offset = int(st["nco_abs_offset"])
+            _load_scheduler_state(ch.scheduler, st["scheduler"])
+        mpipe.samples_in = int(meta["samples_in"])
+        for g, (idxs, rs) in enumerate(mpipe._groups):
+            prefix = f"g{g}_"
+            rstate = {
+                name[len(prefix):]: z[name]
+                for name in z.files if name.startswith(prefix)
+            }
+            if rs is None:
+                if rstate:
+                    raise ValueError(f"checkpoint group {g} has resampler "
+                                     "state but pipeline group has none")
+                continue
+            if not rstate:
+                raise ValueError(f"checkpoint group {g} missing resampler state")
+            rs.load_state(rstate)
+        mpipe._chain_carries = None   # reseed from restored histories
     return meta

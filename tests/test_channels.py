@@ -222,3 +222,147 @@ def test_channels_pallas_chain_tail_fallback_consistent():
     b = run("xla")
     assert len(a) == len(b)
     lsb_close(a, b)
+
+
+def _mk_specs():
+    return [
+        ChannelSpec("a", ConstScheduler(-40000.0), center_offset_hz=500.0),
+        ChannelSpec("b", ConstScheduler(12000.5)),
+        ChannelSpec("c", ConstScheduler(90000.0)),
+    ]
+
+
+def _run_channels(buf, specs, out_rate=48000.0, drain=False):
+    mp = MultiChannelPipeline(FS, "i16", "i16", specs, out_rate=out_rate,
+                              chunk_blocks=16, drain_on_eof=drain)
+    outs = [io.BytesIO() for _ in specs]
+    mp.run(io.BytesIO(buf), outs)
+    return mp, [o.getvalue() for o in outs]
+
+
+def test_channels_checkpoint_resume_bitwise(tmp_path):
+    """VERDICT r1 item 7: stop mid-stream, checkpoint, resume in a fresh
+    pipeline → per-channel bytes identical to the uninterrupted run."""
+    from doppler_tpu.runtime import checkpoint
+
+    n = 2048 * 16 * 4
+    buf = wideband(n)
+    _, full = _run_channels(buf, _mk_specs())
+
+    cut = 2048 * 16 * 2 * 4  # bytes: two whole chunks
+    mp1, first = _run_channels(buf[:cut], _mk_specs())
+    path = str(tmp_path / "ch.npz")
+    checkpoint.save_channels(path, mp1)
+
+    mp2 = MultiChannelPipeline(FS, "i16", "i16", _mk_specs(),
+                               out_rate=48000.0, chunk_blocks=16)
+    meta = checkpoint.restore_channels(path, mp2)
+    assert meta["samples_in"] * 4 == cut
+    outs = [io.BytesIO() for _ in range(3)]
+    mp2.run(io.BytesIO(buf[cut:]), outs)
+    for a, b, c in zip(first, (o.getvalue() for o in outs), full):
+        assert a + b == c
+
+
+def test_channels_checkpoint_mixed_rates_and_unresampled(tmp_path):
+    """Groups with different rates (incl. rs=None) all round-trip."""
+    from doppler_tpu.runtime import checkpoint
+
+    def specs():
+        return [
+            ChannelSpec("x", ConstScheduler(-15000.0), out_rate=48000.0),
+            ChannelSpec("y", ConstScheduler(7000.0)),          # unresampled
+            ChannelSpec("z", ConstScheduler(30000.0), out_rate=128000.0),
+        ]
+
+    n = 2048 * 16 * 3
+    buf = wideband(n)
+    mp_full = MultiChannelPipeline(FS, "i16", "i16", specs(), chunk_blocks=16)
+    fulls = [io.BytesIO() for _ in range(3)]
+    mp_full.run(io.BytesIO(buf), fulls)
+
+    cut = 2048 * 16 * 4
+    mp1 = MultiChannelPipeline(FS, "i16", "i16", specs(), chunk_blocks=16)
+    firsts = [io.BytesIO() for _ in range(3)]
+    mp1.run(io.BytesIO(buf[:cut]), firsts)
+    path = str(tmp_path / "mixed.npz")
+    checkpoint.save_channels(path, mp1)
+
+    mp2 = MultiChannelPipeline(FS, "i16", "i16", specs(), chunk_blocks=16)
+    checkpoint.restore_channels(path, mp2)
+    rests = [io.BytesIO() for _ in range(3)]
+    mp2.run(io.BytesIO(buf[cut:]), rests)
+    for f, r, full in zip(firsts, rests, fulls):
+        assert f.getvalue() + r.getvalue() == full.getvalue()
+
+
+def test_channels_checkpoint_rejects_mismatched_config(tmp_path):
+    from doppler_tpu.runtime import checkpoint
+
+    buf = wideband(2048 * 16)
+    mp1, _ = _run_channels(buf, _mk_specs())
+    path = str(tmp_path / "ch.npz")
+    checkpoint.save_channels(path, mp1)
+
+    renamed = _mk_specs()
+    renamed[1] = ChannelSpec("other", ConstScheduler(12000.5))
+    mp2 = MultiChannelPipeline(FS, "i16", "i16", renamed,
+                               out_rate=48000.0, chunk_blocks=16)
+    with pytest.raises(ValueError, match="channel set changed"):
+        checkpoint.restore_channels(path, mp2)
+
+
+def test_channels_drain_matches_single_pipeline_drain():
+    """--drain in channels mode flushes each channel's FIR tail exactly as
+    the single-stream pipeline does."""
+    n = 2048 * 16 * 2 + 777
+    buf = wideband(n)
+    specs = _mk_specs()
+    _, outs = _run_channels(buf, specs, drain=True)
+    for spec, got in zip(_mk_specs(), outs):
+        pipe = Pipeline(FS, "i16", "i16",
+                        ConstScheduler(spec.scheduler.shift_hz
+                                       + spec.center_offset_hz),
+                        chunk_blocks=16, drain_on_eof=True)
+        attach_resampler(pipe, 48000.0)
+        want = io.BytesIO()
+        pipe.run(io.BytesIO(buf), want)
+        assert len(got) == len(want.getvalue())
+        lsb_close(got, want.getvalue())
+
+
+def test_cli_channels_save_load_state(tmp_path):
+    """Full CLI surface: kill after N bytes via --save-state, resume with
+    --load-state, concatenated outputs equal the single run."""
+    cfg = {
+        "channels": [
+            {"name": "c0", "shift": -15000.0},
+            {"name": "c1", "shift": 20000.0, "center_offset": 100.0},
+        ]
+    }
+    cfg_path = tmp_path / "ch.json"
+    cfg_path.write_text(json.dumps(cfg))
+    buf = wideband(2048 * 16 * 4)
+    outdir_full = tmp_path / "full"
+    outdir_cut = tmp_path / "cut"
+
+    def run_cli(data, outdir, extra):
+        proc = subprocess.run(
+            [sys.executable, "-m", "doppler_tpu", "channels",
+             "--config", str(cfg_path), "-s", str(FS), "-i", "i16",
+             "--resample-to", "48000", "--chunk-blocks", "16",
+             "--output-dir", str(outdir), "--platform", "cpu"] + extra,
+            input=data, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+
+    run_cli(buf, outdir_full, [])
+    cut = 2048 * 16 * 2 * 4
+    state = tmp_path / "state.npz"
+    run_cli(buf[:cut], outdir_cut, ["--save-state", str(state)])
+    run_cli(buf[cut:], outdir_cut, ["--load-state", str(state)])
+    for name in ("c0", "c1"):
+        a = (outdir_full / f"{name}.iq").read_bytes()
+        b = (outdir_cut / f"{name}.iq").read_bytes()
+        assert a == b and len(a) > 0
