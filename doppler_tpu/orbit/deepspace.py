@@ -93,7 +93,7 @@ class DeepSpaceState:
     xl4: float = 0.0
     zmol: float = 0.0
     zmos: float = 0.0
-    # epoch periodics (subtracted so corrections vanish at epoch)
+    # epoch-periodic offsets — kept zero (AFSPC lineage; see dpper)
     peo: float = 0.0
     pinco: float = 0.0
     plo: float = 0.0
@@ -263,8 +263,13 @@ def dpper(s: DeepSpaceState, t: float, ep, inclp, nodep, argpp, mp,
           *, init: bool = False):
     """Lunar-solar periodics at time t (minutes since epoch).
 
-    Returns updated (ep, inclp, nodep, argpp, mp).  With ``init`` the epoch
-    values are captured so later calls return zero correction at t=0.
+    Returns updated (ep, inclp, nodep, argpp, mp).  The epoch periodic
+    values are NOT subtracted (``peo…pho`` stay zero): the AFSPC/Vallado
+    lineage applies the full periodic at every t including t=0, and the
+    published SDP4 verification ephemerides (Spacetrack Report #3 sat
+    11801) include the epoch periodic — subtracting it shifts a high-e
+    deep-space orbit by ~40 km (caught by tests/test_deepspace.py's golden
+    vectors, which now pin this to <0.1 km).
     """
     zm = s.zmos + ZNS * t
     zf = zm + 2.0 * ZES * math.sin(zm)
@@ -295,7 +300,7 @@ def dpper(s: DeepSpaceState, t: float, ep, inclp, nodep, argpp, mp,
     ph = shs + shll
 
     if init:
-        s.peo, s.pinco, s.plo, s.pgho, s.pho = pe, pinc, pl, pgh, ph
+        s.peo = s.pinco = s.plo = s.pgho = s.pho = 0.0
         return ep, inclp, nodep, argpp, mp
 
     pe -= s.peo

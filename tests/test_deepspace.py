@@ -126,3 +126,43 @@ def test_gps_class_deep_space_no_resonance():
         _, vv = gps.propagate(tmin)
         fd = (r1 - r0) / (2 * h) / 60.0
         assert np.abs(fd - vv).max() / np.linalg.norm(vv) < 2e-4
+
+
+def test_sdp4_golden_spacetrack_report_3():
+    """VERDICT r1 item 9: pin SDP4 to a published ephemeris, not just
+    invariants.  Satellite 11801 is THE deep-space verification case from
+    Spacetrack Report #3 (the document that defines SDP4); its 0-1440 min
+    ephemeris is reprinted in Vallado, "Revisiting Spacetrack Report #3"
+    (AIAA 2006-6753) and reproduced by every AFSPC-lineage implementation.
+    High-e (0.73), 46.8° inclination, 10.5 h period — exercises the
+    lunar-solar secular rates and periodics (irez=0: the resonance
+    integrator is covered by the physics-invariant tests above).
+
+    This golden caught a real semantics bug: subtracting the epoch
+    periodics in dpper (so corrections vanish at t=0) shifts this orbit by
+    ~40 km; the published values include the epoch periodic.
+    """
+    from doppler_tpu.orbit import Tle
+
+    L1 = "1 11801U          80230.29629788  .01431103  00000-0  14311-1      13"
+    L2 = "2 11801  46.7916 230.4354 7318036  47.4722  10.4117  2.28537848    13"
+    sat = SGP4(Tle.from_lines("STR3-SDP4", L1, L2))
+    assert sat.deep and sat.ds.irez == 0
+
+    # (t_min, x, y, z [km], vx, vy, vz [km/s]) — Spacetrack Report #3 SDP4
+    golden = [
+        (0.0,     7473.37,   428.95,   5828.75,  5.1071,  6.4447, -0.1861),
+        (360.0,  -3305.22, 32410.86, -24697.18, -1.3011, -1.1513, -0.2833),
+        (720.0,  14271.29, 24110.46,  -4725.77, -0.3205,  2.6798, -2.0841),
+        (1080.0, -9990.06, 22717.36, -23616.89, -1.0167, -2.2903,  0.7289),
+        (1440.0,  9787.87, 33753.35, -15030.81, -1.0943,  0.9235, -1.5226),
+    ]
+    for t, x, y, z, vx, vy, vz in golden:
+        r, v = sat.propagate(np.array([t]))
+        r = np.asarray(r).reshape(3)
+        v = np.asarray(v).reshape(3)
+        dr = np.linalg.norm(r - np.array([x, y, z]))
+        dv = np.linalg.norm(v - np.array([vx, vy, vz]))
+        # printed precision of the fixture is 0.01 km / 0.0001 km/s
+        assert dr < 0.1, (t, r, dr)
+        assert dv < 0.001, (t, v, dv)
