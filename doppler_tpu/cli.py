@@ -122,6 +122,11 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
                    help="resampler structure: single-stage polyphase "
                         "(default), or a halfband-cascade msresamp-style "
                         "multi-stage design (auto: used when decimating ≥4x)")
+    p.add_argument("--resample-impl", choices=["auto", "conv", "window"],
+                   default="auto",
+                   help="resampler device formulation: banded windows-matmul "
+                        "(conv — runs on the MXU) or gather+fixed-tree "
+                        "(window); auto picks conv unless taps ≫ Q")
     p.add_argument("--exact-ratio", action="store_true",
                    help="use exact rational NCO rate instead of mirroring the "
                         "reference's f32-rounded shift/samplerate ratio")
@@ -416,7 +421,8 @@ def main(argv=None, stdin=None, stdout=None) -> int:
             from doppler_tpu.ops.resample import attach_resampler
 
             attach_resampler(pipe, args.resample_to,
-                             stages=args.resample_stages)
+                             stages=args.resample_stages,
+                             impl=args.resample_impl)
     except ValueError as e:
         log.error("%s", e)
         return 1

@@ -77,6 +77,7 @@ class MultiStageResampler:
         atten_db: float = 70.0,
         channels: int | None = None,
         max_denominator: int = 1 << 16,
+        impl: str = "auto",
     ):
         if out_rate >= in_rate:
             raise ValueError(
@@ -97,14 +98,14 @@ class MultiStageResampler:
                 RationalResampler(
                     int(rate), rate / 2.0,
                     taps_per_phase=taps, atten_db=atten_db,
-                    channels=channels,
+                    channels=channels, impl=impl,
                 )
             )
             rate = rate / 2.0
         self.stages.append(
             RationalResampler(
                 int(rate), out_rate, atten_db=atten_db, channels=channels,
-                max_denominator=max_denominator,
+                max_denominator=max_denominator, impl=impl,
             )
         )
         fin = self.stages[-1]
@@ -178,7 +179,7 @@ def make_resampler(
     heavy = float(out_rate) * 4.0 <= float(in_rate)
     if stages == "multi" or (stages == "auto" and heavy):
         return MultiStageResampler(
-            in_rate, out_rate, atten_db=atten_db, channels=channels,
+            in_rate, out_rate, atten_db=atten_db, channels=channels, **kwargs,
         )
     if stages not in ("single", "auto"):
         raise ValueError(f"stages must be single|auto|multi, got {stages!r}")

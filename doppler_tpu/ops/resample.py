@@ -30,7 +30,13 @@ import jax.numpy as jnp
 
 from doppler_tpu.ops.filters import design_polyphase_bank
 
-__all__ = ["RationalResampler", "resample_oracle", "window_dot"]
+__all__ = [
+    "RationalResampler",
+    "resample_oracle",
+    "window_dot",
+    "resample_conv_stream",
+    "conv_stream_geometry",
+]
 
 
 def _tree_sum_last(x):
@@ -86,12 +92,114 @@ def _resample_kernel(xi, xq, bank_rev, rem0, off0, *, P, Q, T, M):
     return window_dot(xi, xq, bank_rev, rem0, off0, P=P, Q=Q, T=T, M=M)
 
 
+@partial(jax.jit, static_argnames=("P", "Q", "T", "K", "M", "PADZ", "TAIL"))
+def resample_conv_stream(xi, xq, taps_mat, start0, p0,
+                         *, P, Q, T, K, M, PADZ, TAIL):
+    """Streaming banded-matmul resampler — the MXU product path.
+
+    Generalizes :func:`resample_conv_block` to *arbitrary* mid-stream
+    alignment: outputs are computed in full polyphase cycles (P consecutive
+    outputs per stride-Q window row), so a chunk whose first output index
+    m0 sits mid-cycle computes cycle ⌊m0/P⌋ onward and dynamic-slices the
+    kept range.  The leading partial cycle's discarded outputs read up to
+    ~2Q samples before the T−1 true history — those positions are zero
+    padding, which is sound because every KEPT output's taps span exactly
+    its own T-window (``taps_mat`` column p is nonzero only on
+    [⌊pQ/P⌋, ⌊pQ/P⌋+T)), so pad garbage only ever feeds discarded outputs.
+
+    ``xi/xq``  : ``(..., H + N)`` with the usual T−1-sample history prefix
+                 (identical buffer layout to :func:`window_dot`).
+    ``start0`` : buffer index (after the PADZ zeros) where cycle ⌊m0/P⌋'s
+                 window row begins — host-computed exact int.
+    ``p0``     : m0 mod P, the first kept output's offset into cycle 0.
+    ``K``      : static cycle count; K·P ≥ p0 + M for any p0 < P.
+    ``PADZ/TAIL``: static zero padding (front/back) sized by the host so
+                 every window row is in bounds.
+
+    NaN edge: a NaN input sample pollutes every output whose *cycle rows*
+    overlap it (≤ w_len neighbors) rather than only its T-window — the
+    0·NaN products are not masked.  The gather path (``window_dot``) keeps
+    the tighter spread; NaN-carrying f32 streams that need it can select
+    ``resample_impl='window'``.
+    """
+    w_len = (Q - 1) + T
+    R = -(-w_len // Q)
+    x2 = jnp.stack([xi, xq], axis=-2).reshape(-1, xi.shape[-1])
+    x2 = jnp.pad(x2, ((0, 0), (PADZ, TAIL)))
+    G = jax.lax.dynamic_slice_in_dim(
+        x2, start0 + jnp.int32(PADZ), (K + R) * Q, axis=-1
+    ).reshape(-1, K + R, Q)
+    taps_pad = jnp.pad(taps_mat, ((0, R * Q - w_len), (0, 0)))
+    y = None
+    for r in range(R):
+        term = jax.lax.dot_general(
+            G[:, r : r + K, :], taps_pad[r * Q : (r + 1) * Q],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                                  # (rows, K, P)
+        y = term if y is None else y + term
+    y = y.reshape(-1, K * P)
+    y = jax.lax.dynamic_slice_in_dim(y, p0, M, axis=-1)
+    y = y.reshape(*xi.shape[:-1], 2, M)
+    return y[..., 0, :], y[..., 1, :]
+
+
+def conv_stream_geometry(m0: int, in_consumed: int, M: int, N: int,
+                         *, P: int, Q: int, T: int):
+    """Host: exact alignment ints for :func:`resample_conv_stream`.
+
+    Returns ``(start0, p0, K, PADZ, TAIL)`` for a chunk whose buffer is
+    [T−1 history | N inputs] with buffer index 0 at absolute input
+    ``in_consumed − (T−1)``.  ``start0``/``p0`` are per-chunk (dynamic
+    kernel operands); ``K``/``PADZ``/``TAIL`` depend only on (N, M, P, Q, T)
+    so the compiled kernel is reused across the stream.  All exact Python
+    ints — valid for arbitrary stream position.
+    """
+    H = T - 1
+    i0, p0 = divmod(m0, P)
+    # Window row i covers buffer positions [iQ, iQ + w_len) where buffer
+    # index 0 sits H samples BEFORE the stream origin (the taps matrix
+    # bakes the H offset into each phase's band: column p is nonzero on
+    # [⌊pQ/P⌋, ⌊pQ/P⌋+T), whose top tap is the output's newest input).
+    # Our chunk buffer index c maps to that global position A + c, so:
+    start0 = i0 * Q - in_consumed           # may be < 0 → covered by PADZ
+    # Floor K at 64 cycles: XLA's matmul microkernels handle very small
+    # contraction batches with different tail code, rounding 1 ulp apart
+    # from the large-K case — which would break the pinned bitwise
+    # equality between chunkings when a ragged tail chunk is tiny.  K=53
+    # vs K=314 were measured bit-identical on CPU; K=2 was not.  The
+    # excess cycles read zero padding and are sliced away.
+    K = max(64, -(-(P - 1 + M) // P))       # static over p0 < P
+    w_len = (Q - 1) + T
+    R = -(-w_len // Q)
+    # dynamic-range bounds on start0 over the life of the stream:
+    #   m0 ≤ ⌈A·P/Q⌉ ⇒ i0·Q ≤ m0·Q/P ≤ A + Q  ⇒ start0 ≤ Q
+    #   m0 ≥ (A·P − Q + 1)/Q ⇒ start0 ≥ −2Q − 1  (discarded-cycle reach)
+    PADZ = 2 * Q + T                        # static bound on −start0
+    TAIL = max(0, Q + (K + R) * Q - (H + N))
+    if not (-PADZ <= start0 <= Q):
+        raise AssertionError(
+            f"conv alignment out of bounds: start0={start0} H={H} Q={Q}"
+        )
+    return start0, p0, K, PADZ, TAIL
+
+
 class RationalResampler:
     """Streaming P/Q resampler over planar IQ chunks.
 
     ``in_rate``/``out_rate`` are reduced to lowest terms; arbitrary rationals
     are supported (the polyphase bank has P phases).  Use ``taps_per_phase``
     and ``atten_db`` to trade filter quality against compute.
+
+    ``impl`` selects the device formulation (identical Bresenham alignment,
+    identical taps, different f32 evaluation): ``'conv'`` is the banded
+    windows-matmul that runs on the MXU — ~30× the gather path on TPU
+    hardware (tools/resample_probe.py); ``'window'`` is the
+    gather+fixed-tree formulation.  ``'auto'`` (default) picks conv unless
+    the band count R = ⌈(Q−1+T)/Q⌉ is large (taps ≫ Q, e.g. halfband
+    stages), where the banded decomposition degenerates into an R-long
+    loop of skinny matmuls and the gather wins.
     """
 
     def __init__(
@@ -103,6 +211,7 @@ class RationalResampler:
         atten_db: float = 70.0,
         channels: int | None = None,
         max_denominator: int = 1 << 16,
+        impl: str = "auto",
     ):
         """Non-integer ``out_rate`` is rationalized to within
         ``1/max_denominator`` relative error (an arbitrary float rate r has
@@ -128,6 +237,17 @@ class RationalResampler:
         self.bank = design_polyphase_bank(self.P, self.Q, taps_per_phase, atten_db)
         self.T = self.bank.shape[1]
         self._bank_rev = jnp.asarray(self.bank[:, ::-1].copy())
+        if impl not in ("auto", "conv", "window"):
+            raise ValueError(
+                f"impl must be 'auto', 'conv' or 'window', got {impl!r}")
+        if impl == "auto":
+            w_len = (self.Q - 1) + self.T
+            impl = "conv" if -(-w_len // self.Q) <= 8 else "window"
+        self.impl = impl
+        self._taps_mat = (
+            jnp.asarray(make_taps_matrix(self.bank, self.P, self.Q))
+            if impl == "conv" else None
+        )
         self.channels = channels      # None = single stream; int C = batch
 
         # streaming state: next output index + T−1 input history samples
@@ -169,15 +289,25 @@ class RationalResampler:
         xq = jnp.concatenate([jnp.asarray(self._hist_q), jnp.asarray(q)], axis=-1)
 
         m0 = self.m_next
-        rem0 = (m0 * Q) % P
-        n_m0 = (m0 * Q) // P
-        # xi[0] holds absolute input index in_consumed − (T−1)
-        off0 = n_m0 - (T - 1) - (self.in_consumed - (T - 1))
-        yi, yq = _resample_kernel(
-            xi, xq, self._bank_rev,
-            jnp.int32(rem0), jnp.int32(off0),
-            P=P, Q=Q, T=T, M=int(M),
-        )
+        if self.impl == "conv":
+            N = int(np.shape(i)[-1])
+            start0, p0, K, PADZ, TAIL = conv_stream_geometry(
+                m0, self.in_consumed, int(M), N, P=P, Q=Q, T=T
+            )
+            yi, yq = resample_conv_stream(
+                xi, xq, self._taps_mat, jnp.int32(start0), jnp.int32(p0),
+                P=P, Q=Q, T=T, K=K, M=int(M), PADZ=PADZ, TAIL=TAIL,
+            )
+        else:
+            rem0 = (m0 * Q) % P
+            n_m0 = (m0 * Q) // P
+            # xi[0] holds absolute input index in_consumed − (T−1)
+            off0 = n_m0 - (T - 1) - (self.in_consumed - (T - 1))
+            yi, yq = _resample_kernel(
+                xi, xq, self._bank_rev,
+                jnp.int32(rem0), jnp.int32(off0),
+                P=P, Q=Q, T=T, M=int(M),
+            )
 
         # advance streaming state (host integers + history ring).  History
         # stays a device array: no host sync on the async-dispatch path.

@@ -6,5 +6,7 @@ from doppler_tpu.parallel.sharded import (  # noqa: F401
     make_wideband_mix_step,
     make_wideband_stream_step,
     shard_alignment,
+    shard_conv_alignment,
     shard_valid_out_counts,
+    stream_step_alignment,
 )

@@ -31,7 +31,12 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from doppler_tpu.ops import codec, nco
-from doppler_tpu.ops.resample import window_dot
+from doppler_tpu.ops.resample import (
+    conv_stream_geometry,
+    make_taps_matrix,
+    resample_conv_stream,
+    window_dot,
+)
 
 __all__ = [
     "make_sharded_step",
@@ -192,6 +197,35 @@ def shard_alignment(s_abs: int, n_loc: int, n_time: int, P_: int, Q_: int):
     return rem, off, counts
 
 
+def shard_conv_alignment(s_abs: int, n_loc: int, n_time: int,
+                         P_: int, Q_: int):
+    """Host: per-time-shard (start0, p0) for the conv (banded-MXU) step.
+
+    Same ownership rule as :func:`shard_alignment`; the two returned int32
+    arrays feed :func:`doppler_tpu.ops.resample.resample_conv_stream`'s
+    dynamic operands (shard k behaves exactly like a streaming chunk with
+    ``in_consumed = s_abs + k·n_loc`` and ``m_next = ms[k]``).
+    """
+    ms = [-(-(s_abs + k * n_loc) * P_ // Q_) for k in range(n_time + 1)]
+    start0 = np.zeros(n_time, np.int32)
+    p0 = np.zeros(n_time, np.int32)
+    for k in range(n_time):
+        a_k = s_abs + k * n_loc
+        i0, pk = divmod(ms[k], P_)
+        start0[k] = i0 * Q_ - a_k
+        p0[k] = pk
+    counts = [ms[k + 1] - ms[k] for k in range(n_time)]
+    return start0, p0, counts
+
+
+def stream_step_alignment(rs, s_abs: int, n_loc: int, n_time: int):
+    """Host: the (a1, a2, counts) triple matching ``rs.impl``'s device step
+    — (rem, off) for 'window', (start0, p0) for 'conv'."""
+    if rs.impl == "conv":
+        return shard_conv_alignment(s_abs, n_loc, n_time, rs.P, rs.Q)
+    return shard_alignment(s_abs, n_loc, n_time, rs.P, rs.Q)
+
+
 def _decode_broadcast(data, C_loc: int, intype: str):
     """Local (B_loc, L[, 2]) wire chunk → per-channel planar (C_loc, B_loc, L)."""
     if intype == "i16":
@@ -283,7 +317,11 @@ def make_wideband_stream_step(mesh, *, intype: str, outtype: str, C: int,
     C_loc = C // n_chan
     Pr, Qr, T = resampler.P, resampler.Q, resampler.T
     H = T - 1
-    bank_rev = jnp.asarray(resampler.bank[:, ::-1].copy())
+    conv = resampler.impl == "conv"
+    if conv:
+        taps_mat = jnp.asarray(make_taps_matrix(resampler.bank, Pr, Qr))
+    else:
+        bank_rev = jnp.asarray(resampler.bank[:, ::-1].copy())
     data_spec = P("time", None) if intype == "i16" else P("time", None, None)
     out_spec = (
         P("channel", "time", None) if outtype == "i16"
@@ -317,11 +355,22 @@ def make_wideband_stream_step(mesh, *, intype: str, outtype: str, C: int,
             left_q = jnp.where(tidx == 0, hist_q, halo_q)
         else:
             left_i, left_q = hist_i, hist_q
-        # island 2 — the _resample_kernel program
+        # island 2 — the _resample_kernel / resample_conv_stream program
+        # (rem/off carry (start0, p0) when the resampler impl is 'conv';
+        # see stream_step_alignment)
         xi = jnp.concatenate([left_i, mi], axis=-1)
         xq = jnp.concatenate([left_q, mq], axis=-1)
-        yi, yq = window_dot(xi, xq, bank_rev, rem[tidx], off[tidx],
-                            P=Pr, Q=Qr, T=T, M=M_max)
+        if conv:
+            _, _, K, PADZ, TAIL = conv_stream_geometry(
+                0, 0, M_max, n_loc, P=Pr, Q=Qr, T=T
+            )
+            yi, yq = resample_conv_stream(
+                xi, xq, taps_mat, rem[tidx], off[tidx],
+                P=Pr, Q=Qr, T=T, K=K, M=M_max, PADZ=PADZ, TAIL=TAIL,
+            )
+        else:
+            yi, yq = window_dot(xi, xq, bank_rev, rem[tidx], off[tidx],
+                                P=Pr, Q=Qr, T=T, M=M_max)
         # island 3 — the _encode_kernel program
         yi, yq = jax.lax.optimization_barrier((yi, yq))
         if outtype == "i16":

@@ -290,7 +290,7 @@ class MultiChannelPipeline:
         from doppler_tpu.parallel.sharded import (
             make_wideband_mix_step,
             make_wideband_stream_step,
-            shard_alignment,
+            stream_step_alignment,
         )
 
         if not self._uniform:
@@ -337,8 +337,8 @@ class MultiChannelPipeline:
                 self.mesh, intype=self.intype, outtype=self.outtype,
                 C=C, resampler=rs,
             )
-        rem, off, out_counts = shard_alignment(
-            rs.in_consumed, B * L // n_time, n_time, rs.P, rs.Q
+        rem, off, out_counts = stream_step_alignment(
+            rs, rs.in_consumed, B * L // n_time, n_time
         )
         hist_sh = NamedSharding(self.mesh, Spec("channel", None))
         hist_i = jax.device_put(jnp.asarray(rs._hist_i), hist_sh)

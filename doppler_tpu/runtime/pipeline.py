@@ -385,7 +385,7 @@ class Pipeline:
         from doppler_tpu.parallel.sharded import (
             make_wideband_mix_step,
             make_wideband_stream_step,
-            shard_alignment,
+            stream_step_alignment,
         )
 
         B, L = self.chunk_blocks, self.block_samples
@@ -417,8 +417,8 @@ class Pipeline:
                     self.mesh, intype=self.intype, outtype=self.outtype,
                     C=1, resampler=rs,
                 )
-            rem, off, out_counts = shard_alignment(
-                rs.in_consumed, B * L // n_time, n_time, rs.P, rs.Q
+            rem, off, out_counts = stream_step_alignment(
+                rs, rs.in_consumed, B * L // n_time, n_time
             )
             hist_sh = NamedSharding(self.mesh, Spec("channel", None))
             hist_i = jax.device_put(
