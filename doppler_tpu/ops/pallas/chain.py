@@ -98,16 +98,29 @@ def make_chain_taps(bank: np.ndarray, P: int, Q: int) -> np.ndarray:
     return out
 
 
-def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False):
+def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1):
     SL = L // 128                 # mixed rows per reference block
     WSL = W * SL                  # mixed rows per grid step
     HBR = carry_rows(T)           # history rows
     R = taps_rows // 128          # taps slices per subgroup
     A = WSL                       # output groups per subgroup per step
-    CC = n_sub * PP               # merged matmul columns
-    # group a reads buffer rows a .. a+R−1; max needed = A−1+R−1
+    CC = n_sub * PP               # merged matmul columns per output group
+    # ---- matmul-lane widening (D output groups per LHS row) ----
+    # With CC ≪ 128 the matmul N-dim wastes MXU lanes (config 3: CC=16 →
+    # 12.5% lane utilization).  Column block δ < D of the widened taps is
+    # the base taps shifted down 128·δ rows, so LHS row a' covers output
+    # groups a'·D+δ for all δ at once: N grows D×, MAC count only
+    # (R+D−1)/R×.  The extra taps rows are exact zeros, so outputs are
+    # bitwise identical to the D=1 formulation.
+    assert A % D == 0, (A, D)
+    G = A // D                    # LHS rows (output-group tiles) per step
+    NSLICE = R + D - 1            # widened reduction slices
+    # group a reads buffer rows a .. a+R−1; max needed = A−1+R−1;
+    # the (rows → (rows/D, D, 128)) regrouping needs D | total rows
     SRC_ROWS = HBR + WSL
     PAD_ROWS = max(0, (A - 1 + R) - SRC_ROWS + 1)
+    if (SRC_ROWS + PAD_ROWS) % D:
+        PAD_ROWS += D - (SRC_ROWS + PAD_ROWS) % D
 
     def kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r, t_r,
                words_ref, taps_ref, carry_in_ref, out_ref, carry_out_ref,
@@ -185,17 +198,29 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False):
             carry_out_ref[0] = mi[WSL - HBR:]  # last grid step's write survives
             carry_out_ref[1] = mq[WSL - HBR:]
 
-        # ---- polyphase: R accumulated matmuls, I/Q row-stacked and all
-        # subgroups column-stacked — (2A, 128) @ (128, n_sub·PP) per slice.
-        # The per-subgroup window shifts are baked into the taps rows
-        # (make_chain_taps), so every subgroup shares the same LHS.
-        acc = jnp.zeros((2 * A, CC), jnp.float32)
-        for r in range(R):
+        # ---- polyphase: R+D−1 accumulated matmuls, I/Q row-stacked, all
+        # subgroups AND D group-offsets column-stacked —
+        # (2A/D, 128) @ (128, D·n_sub·PP) per slice.  The per-subgroup
+        # window shifts are baked into the taps rows (make_chain_taps) and
+        # the per-δ group offsets into the widened taps (wide_chain_taps),
+        # so every column shares the same LHS.  Buffer row a'·D + r' =
+        # rows3[a' + r'//D, r'%D], so each slice is a contiguous
+        # fixed-plane view of the D-regrouped rows.
+        if D == 1:
+            rows3_i = rows_i[:, None, :]
+            rows3_q = rows_q[:, None, :]
+        else:
+            rows3_i = rows_i.reshape(-1, D, 128)
+            rows3_q = rows_q.reshape(-1, D, 128)
+        acc = jnp.zeros((2 * G, D * CC), jnp.float32)
+        for rp in range(NSLICE):
+            q_, d_ = divmod(rp, D)
             x_r = jnp.concatenate(
-                [rows_i[r : r + A, :], rows_q[r : r + A, :]], axis=0
-            )                                                   # (2A, 128)
+                [rows3_i[q_ : q_ + G, d_, :], rows3_q[q_ : q_ + G, d_, :]],
+                axis=0,
+            )                                                   # (2G, 128)
             acc = acc + jnp.dot(
-                x_r, taps_ref[128 * r : 128 * (r + 1), :],
+                x_r, taps_ref[128 * rp : 128 * (rp + 1), :],
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
@@ -209,8 +234,8 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False):
             return v.astype(jnp.int32)
 
         word = (
-            (enc(acc[:A]) & jnp.int32(0xFFFF))
-            | jnp.left_shift(enc(acc[A:]), 16)
+            (enc(acc[:G]) & jnp.int32(0xFFFF))
+            | jnp.left_shift(enc(acc[G:]), 16)
         )
         if channels:
             out_ref[0, 0] = word
@@ -220,14 +245,47 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False):
     return kernel
 
 
-def _pick_chain_blocks_per_step(B: int, L: int, T: int) -> int:
-    """Largest W ≤ 16 dividing B with W·L·4 ≤ 2 MB input per grid step and
-    W·L/128 ≥ carry rows (the step must produce its own FIR history)."""
-    cap = max(1, (2 << 20) // (L * 4))
-    w = min(16, B, cap)
+def _pick_group_cols(A: int, CC: int) -> int:
+    """Largest D dividing A with D·CC ≤ 128 (full MXU lane width) and at
+    least 4 output-group tiles per step (matmul M = 2·A/D ≥ 8)."""
+    d = max(1, min(128 // CC, A // 4)) if CC <= 64 else 1
+    while d > 1 and A % d:
+        d -= 1
+    return d
+
+
+def _pick_chain_blocks_per_step(B: int, L: int, T: int, CC: int) -> int:
+    """W dividing B targeting a (128, 128)@(128, 128) matmul shape:
+    A = W·L/128 output groups with D = 128/CC groups per LHS row wants
+    A = 64·D (M = 2A/D = 128 rows).  Bounded by 4 MB of input per grid
+    step, and W·L/128 ≥ carry rows (the step must produce its own FIR
+    history)."""
+    sl = L // 128
+    d_ideal = max(1, 128 // CC)
+    w_target = max(1, (64 * d_ideal) // sl)
+    cap = max(1, (4 << 20) // (L * 4))
+    w = min(w_target, B, cap)
     while w > 1 and (B % w or (w * L) // 128 < carry_rows(T)):
         w -= 1
     return w
+
+
+def wide_chain_taps(taps_merged, D: int):
+    """Widen merged taps ``(R·128, CC)`` → ``((R+D−1)·128, D·CC)``.
+
+    Column block δ is the base taps shifted down 128·δ rows (zero-filled),
+    matching the kernel's D-interleaved output-group assignment.  Traced
+    (runs under jit); the result is ~D× the base taps, still ≪ VMEM.
+    """
+    if D == 1:
+        return taps_merged
+    return jnp.concatenate(
+        [
+            jnp.pad(taps_merged, ((128 * d, 128 * (D - 1 - d)), (0, 0)))
+            for d in range(D)
+        ],
+        axis=1,
+    )
 
 
 @functools.partial(
@@ -256,7 +314,8 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
     if n_sub != 128 // Q:
         raise ValueError("chain_taps does not match Q")
     HBR = carry_rows(T)
-    W = blocks_per_step or _pick_chain_blocks_per_step(B, L, T)
+    CC = n_sub * PP
+    W = blocks_per_step or _pick_chain_blocks_per_step(B, L, T, CC)
     if B % W:
         raise ValueError(f"blocks_per_step {W} must divide block count {B}")
     if (W * L) // 128 < HBR:
@@ -265,8 +324,10 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
         )
     SL = L // 128
     A = W * SL
-    CC = n_sub * PP
-    kernel = _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W)
+    D = _pick_group_cols(A, CC)
+    G = A // D
+    NSLICE = taps_rows // 128 + D - 1
+    kernel = _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, D=D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -274,13 +335,13 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
         in_specs=[
             pl.BlockSpec((W, SL, 128), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((taps_rows, CC), lambda b, *_: (0, 0),
+            pl.BlockSpec((NSLICE * 128, D * CC), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, HBR, 128), lambda b, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, A, CC), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((1, G, D * CC), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, HBR, 128), lambda b, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -295,7 +356,7 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B // W, A, CC), jnp.int32),
+            jax.ShapeDtypeStruct((B // W, G, D * CC), jnp.int32),
             jax.ShapeDtypeStruct((2, HBR, 128), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -307,10 +368,10 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
         jnp.asarray(c1_hi, jnp.uint32), jnp.asarray(c1_lo, jnp.uint32),
         jnp.asarray(c2_hi, jnp.uint32), jnp.asarray(c2_lo, jnp.uint32),
         jnp.asarray(t, jnp.uint32),
-        words.reshape(B, SL, 128), taps_merged,
+        words.reshape(B, SL, 128), wide_chain_taps(taps_merged, D),
         jnp.asarray(carry_in, jnp.float32),
     )
-    # epilogue: (B/W, A, n_sub, PP) → keep P real phases → stream order (B, M)
+    # epilogue: (B/W, G, D, n_sub, PP) → keep P real phases → stream (B, M)
     out = out.reshape(B // W, A, n_sub, PP)[..., :P].reshape(B, M)
     return out, carry_out
 
@@ -352,7 +413,10 @@ def mix_resample_chain_pallas_channels(words, fields, chain_taps, carries,
 
     Grid ``(C, B/W)`` iterates channel-major; the carry scratch re-seeds
     from ``carries[c]`` at each channel's first step, so per-channel output
-    is bit-identical to C separate single-channel streaming calls.  One
+    matches C separate single-channel streaming calls (carries bitwise;
+    words within 1 LSB — the stream kernel is a differently shaped XLA
+    program whose fusion/FMA choices in the mix stage may differ by 1 ulp;
+    see tests/test_pallas_chain.py::test_channel_batched_chain…).  One
     launch instead of C amortizes the per-dispatch host/relay overhead
     (~1 ms each through this environment's tunnel) that made per-channel
     dispatch launch-bound.
@@ -368,7 +432,8 @@ def mix_resample_chain_pallas_channels(words, fields, chain_taps, carries,
     if fields.shape != (7, C, B):
         raise ValueError(f"fields shape {fields.shape} != (7, {C}, {B})")
     HBR = carry_rows(T)
-    W = blocks_per_step or _pick_chain_blocks_per_step(B, L, T)
+    CC = n_sub * PP
+    W = blocks_per_step or _pick_chain_blocks_per_step(B, L, T, CC)
     if B % W:
         raise ValueError(f"blocks_per_step {W} must divide block count {B}")
     if (W * L) // 128 < HBR:
@@ -377,8 +442,11 @@ def mix_resample_chain_pallas_channels(words, fields, chain_taps, carries,
         )
     SL = L // 128
     A = W * SL
-    CC = n_sub * PP
-    kernel = _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=True)
+    D = _pick_group_cols(A, CC)
+    G = A // D
+    NSLICE = taps_rows // 128 + D - 1
+    kernel = _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=True,
+                          D=D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -386,13 +454,13 @@ def mix_resample_chain_pallas_channels(words, fields, chain_taps, carries,
         in_specs=[
             pl.BlockSpec((W, SL, 128), lambda c, b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((taps_rows, CC), lambda c, b, *_: (0, 0),
+            pl.BlockSpec((NSLICE * 128, D * CC), lambda c, b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, HBR, 128), lambda c, b, *_: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, A, CC), lambda c, b, *_: (c, b, 0, 0),
+            pl.BlockSpec((1, 1, G, D * CC), lambda c, b, *_: (c, b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, HBR, 128), lambda c, b, *_: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -407,7 +475,7 @@ def mix_resample_chain_pallas_channels(words, fields, chain_taps, carries,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((C, B // W, A, CC), jnp.int32),
+            jax.ShapeDtypeStruct((C, B // W, G, D * CC), jnp.int32),
             jax.ShapeDtypeStruct((C, 2, HBR, 128), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -416,7 +484,7 @@ def mix_resample_chain_pallas_channels(words, fields, chain_taps, carries,
         interpret=interpret,
     )(
         f[0], f[1], f[2], f[3], f[4], f[5], f[6],
-        words.reshape(B, SL, 128), taps_merged,
+        words.reshape(B, SL, 128), wide_chain_taps(taps_merged, D),
         jnp.asarray(carries, jnp.float32),
     )
     out = out.reshape(C, B // W, A, n_sub, PP)[..., :P].reshape(C, B, M)
