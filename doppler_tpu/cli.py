@@ -107,10 +107,14 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
     # framework extensions
     p.add_argument("--block-bytes", type=int, default=8192,
                    help="stream framing block size in bytes (reference: 8192)")
-    p.add_argument("--chunk-blocks", default="256",
+    p.add_argument("--chunk-blocks", default=None,
                    help="blocks per device dispatch (int), or 'auto' to "
                         "target ~64 ms of stream per dispatch for live-SDR "
-                        "latency")
+                        "latency (default: 'auto' in realtime track mode — "
+                        "the Doppler curve updates once per dispatch, so the "
+                        "chunk must stay wall-clock small, cf. the "
+                        "reference's per-block update main.rs:188 — and 256 "
+                        "everywhere else)")
     p.add_argument("--prefetch-chunks", type=int, default=0, metavar="DEPTH",
                    help="stage up to DEPTH input chunks on a reader thread "
                         "(overlaps stdin I/O with device compute; 0 = off)")
@@ -220,9 +224,16 @@ def _resolve_impl(impl: str) -> str:
     return "xla" if plat == "cpu" else "pallas"
 
 
-def _resolve_chunk_blocks(arg, samplerate: int, block_samples: int) -> int:
+def _resolve_chunk_blocks(arg, samplerate: int, block_samples: int,
+                          realtime: bool = False) -> int:
     """'auto' targets ~64 ms of stream per device dispatch (live-SDR
-    latency); otherwise parses an explicit block count."""
+    latency); otherwise parses an explicit block count.  Unset defaults to
+    'auto' in realtime track mode — the Doppler curve is re-evaluated once
+    per dispatch there (orbit/schedule.py RealtimeTrackScheduler), so large
+    chunks would decimate the update rate far below the reference's
+    per-8192-byte-block cadence (main.rs:188) — and to 256 otherwise."""
+    if arg is None:
+        arg = "auto" if realtime else "256"
     if isinstance(arg, str) and arg.lower() == "auto":
         return max(8, min(1024, round(0.064 * samplerate / block_samples)))
     n = int(arg)
@@ -253,11 +264,14 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         chunk_blocks = _resolve_chunk_blocks(
             args.chunk_blocks, args.samplerate,
             args.block_bytes // stream_bps(args.intype),
+            realtime=(args.mode == "track"
+                      and getattr(args, "time", None) is None),
         )
     except ValueError as e:
         log.error("%s", e)
         return 1
 
+    from doppler_tpu.orbit.sgp4 import SGP4Error
     from doppler_tpu.runtime.pipeline import ConstScheduler, Pipeline
 
     mesh = None
@@ -341,6 +355,11 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         try:
             counters = mpipe.run(stdin, writers,
                                  should_stop=lambda: stop_flag["stop"])
+        except SGP4Error as e:
+            log.error("orbit propagation failed: %s "
+                      "(supply a current TLE, or a start time near the TLE "
+                      "epoch)", e)
+            return 1
         finally:
             for w in writers:
                 w.close()
@@ -452,7 +471,17 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         signal.signal(signal.SIGTERM, _on_signal)
         signal.signal(signal.SIGINT, _on_signal)
 
-    counters = pipe.run(stdin, stdout, should_stop=lambda: stop_flag["stop"])
+    try:
+        counters = pipe.run(stdin, stdout,
+                            should_stop=lambda: stop_flag["stop"])
+    except SGP4Error as e:
+        # mid-stream propagation failure (e.g. realtime track with a TLE so
+        # stale the drag model decays the orbit before 'now'): clean exit
+        # like the reference's config-error path (usage.rs:309), not a
+        # traceback — the bytes already written stay valid
+        log.error("orbit propagation failed: %s "
+                  "(supply a current TLE, or --time near the TLE epoch)", e)
+        return 1
 
     if args.save_state:
         from doppler_tpu.runtime import checkpoint

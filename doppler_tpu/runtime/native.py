@@ -140,6 +140,25 @@ def reference_mix(
 # Native SGP4 (near-earth) — see native/src/sgp4_native.cpp
 # ---------------------------------------------------------------------------
 
+# dt_sgp4_propagate / dt_doppler_curve return codes → the same SGP4Error
+# messages the pure-Python propagator raises (orbit/sgp4.py), so callers
+# (CLI error handling, schedulers) see ONE exception type for "this TLE
+# cannot be propagated to that time" regardless of backend.
+_SGP4_RC = {
+    -1: "invalid elements",
+    -4: "orbit decayed during propagation",
+    -5: "semi-latus rectum < 0",
+    -6: "satellite decayed (r < 1 ER)",
+}
+
+
+def _sgp4_error(tle, rc: int):
+    from doppler_tpu.orbit.sgp4 import SGP4Error
+
+    why = _SGP4_RC.get(rc, f"propagation failed (rc {rc})")
+    return SGP4Error(f"{tle.name!r}: {why}")
+
+
 def _load_sgp4():
     lib = _load()
     if not lib:
@@ -199,7 +218,7 @@ class NativeSGP4:
             self._ctx.ctypes.data, t.ctypes.data, t.size,
             r.ctypes.data, v.ctypes.data)
         if rc:
-            raise RuntimeError(f"dt_sgp4_propagate failed ({rc})")
+            raise _sgp4_error(self.tle, rc)
         return r, v
 
     def doppler_curve(self, unix_s, lat_deg, lon_deg, alt_m, frequency_hz):
@@ -213,5 +232,5 @@ class NativeSGP4:
             ts.ctypes.data, ts.size, ctypes.c_double(frequency_hz),
             *[o.ctypes.data for o in out])
         if rc:
-            raise RuntimeError(f"dt_doppler_curve failed ({rc})")
+            raise _sgp4_error(self.tle, rc)
         return tuple(out)

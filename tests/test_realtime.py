@@ -54,6 +54,27 @@ def test_realtime_matches_recorded_at_same_instant():
     assert rt == want
 
 
+def test_realtime_chunk_default_bounds_update_rate():
+    """Realtime track mode must default to wall-clock-small dispatches: the
+    Doppler curve is evaluated once per chunk (RealtimeTrackScheduler), so
+    the CLI's unset --chunk-blocks resolves to the ~64 ms 'auto' target —
+    bounding the update interval near the reference's per-8192-byte-block
+    cadence (main.rs:188) — while recorded/const modes keep the
+    throughput-friendly 256."""
+    from doppler_tpu.cli import _resolve_chunk_blocks
+
+    fs, bs = 256000, 2048  # 8192-byte i16 blocks
+    rt = _resolve_chunk_blocks(None, fs, bs, realtime=True)
+    assert rt * bs / fs <= 0.065, f"{rt} blocks = {rt*bs/fs:.3f}s per update"
+    assert _resolve_chunk_blocks(None, fs, bs, realtime=False) == 256
+    # explicit values are never overridden
+    assert _resolve_chunk_blocks("32", fs, bs, realtime=True) == 32
+    # at very high rates 'auto' caps at 1024 blocks but the update interval
+    # still shrinks (blocks are fixed-size): 100 Msps → ~2 ms
+    hi = _resolve_chunk_blocks(None, 100_000_000, bs, realtime=True)
+    assert hi * bs / 100_000_000 <= 0.065
+
+
 def test_host_slice_partitioning():
     # 4 hosts, 16 channels, 64 blocks → channel-major: 4-way channel split
     shards = [host_slice(16, 64, process_index=i, process_count=4)
