@@ -28,11 +28,13 @@ def main() -> int:
         "--mode",
         choices=["chain", "chain-pallas", "mix", "mix-pallas", "channels",
                  "channels-pallas"],
-        default="mix-pallas",
-        help="default mix-pallas: the Mosaic kernel compiles in seconds "
-             "through this environment's remote-compile hop, so a cold run "
-             "always produces a result; XLA-graph modes (chain/mix/channels) "
-             "can take 5-10 min to compile the first time",
+        default="chain-pallas",
+        help="default chain-pallas: the BASELINE primary metric (NCO mix + "
+             "polyphase resample per chip, config-3 shape) on the fused "
+             "Mosaic kernel — compiles in well under the bench timeout even "
+             "cold (the persistent cache makes repeats instant); mix-pallas "
+             "is the mixer-only secondary; XLA-graph modes (chain/mix/"
+             "channels) can take 5-10 min to compile the first time",
     )
     ap.add_argument("--channels", type=int, default=16,
                     help="channel count for --mode channels (config 4)")
