@@ -22,6 +22,8 @@ __all__ = [
     "available",
     "i16_to_planar",
     "planar_to_i16",
+    "f32_pairs_to_planar_into",
+    "planar_to_f32_pairs",
     "reference_mix",
 ]
 
@@ -52,6 +54,10 @@ def _load():
             lib.dt_i16_to_planar_f32.argtypes = [
                 ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p]
             lib.dt_planar_f32_to_i16.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
+            lib.dt_f32_to_planar_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p]
+            lib.dt_planar_f32_to_f32.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
             lib.dt_reference_mix.restype = ctypes.c_uint32
             lib.dt_reference_mix.argtypes = [
@@ -85,6 +91,42 @@ def i16_to_planar(buf: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         return i, q
     x = raw.astype(np.float32) * np.float32(1.0 / 32768.0)
     return np.ascontiguousarray(x[0::2]), np.ascontiguousarray(x[1::2])
+
+
+def f32_pairs_to_planar_into(pairs: np.ndarray, i_out: np.ndarray,
+                             q_out: np.ndarray) -> None:
+    """Interleaved f32 ``(n, 2)`` → the given contiguous planar f32 buffers.
+
+    The Pallas f32 staging path (Pipeline._stage_in planar=True) deinterleaves
+    every input chunk; writing straight into the padded staging rows skips
+    the intermediate arrays a return-style API would allocate.
+    """
+    pairs = np.ascontiguousarray(pairs, dtype=np.float32)
+    n = pairs.shape[0]
+    lib = _load()
+    if lib and i_out.flags.c_contiguous and q_out.flags.c_contiguous:
+        lib.dt_f32_to_planar_f32(
+            pairs.ctypes.data, n, i_out.ctypes.data, q_out.ctypes.data
+        )
+        return
+    i_out[:n] = pairs[:, 0]
+    q_out[:n] = pairs[:, 1]
+
+
+def planar_to_f32_pairs(i: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Planar f32 → interleaved ``(n, 2)`` f32 (main.rs:89-93 layout)."""
+    i = np.ascontiguousarray(i, dtype=np.float32)
+    q = np.ascontiguousarray(q, dtype=np.float32)
+    n = i.size
+    out = np.empty((n, 2), dtype="<f4")
+    lib = _load()
+    if lib:
+        lib.dt_planar_f32_to_f32(i.ctypes.data, q.ctypes.data, n,
+                                 out.ctypes.data)
+        return out
+    out[:, 0] = i
+    out[:, 1] = q
+    return out
 
 
 def planar_to_i16(i: np.ndarray, q: np.ndarray) -> np.ndarray:

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from doppler_tpu.ops import codec, nco
 from doppler_tpu.ops.phase_plan import NCOState, plan_blocks
+from doppler_tpu.runtime import native
 from doppler_tpu.runtime import stream as streaming
 from doppler_tpu.runtime.telemetry import Counters, get_logger
 
@@ -198,8 +199,7 @@ class Pipeline:
         pairs = codec.bytes_to_f32_pairs(data)
         if planar:
             flat = np.zeros((2, B * L), dtype="<f4")
-            flat[0, : pairs.shape[0]] = pairs[:, 0]
-            flat[1, : pairs.shape[0]] = pairs[:, 1]
+            native.f32_pairs_to_planar_into(pairs, flat[0], flat[1])
             return flat.reshape(2, B, L)
         flat = np.zeros((B * L, 2), dtype="<f4")
         flat[: pairs.shape[0]] = pairs
@@ -211,9 +211,9 @@ class Pipeline:
             return codec.i16_words_to_bytes(flat[:total_samples])
         if planar:
             planes = np.asarray(out).reshape(2, -1)
-            pairs = np.empty((total_samples, 2), dtype="<f4")
-            pairs[:, 0] = planes[0, :total_samples]
-            pairs[:, 1] = planes[1, :total_samples]
+            pairs = native.planar_to_f32_pairs(
+                planes[0, :total_samples], planes[1, :total_samples]
+            )
             return codec.f32_pairs_to_bytes(pairs)
         flat = np.asarray(out).reshape(-1, 2)
         return codec.f32_pairs_to_bytes(flat[:total_samples])

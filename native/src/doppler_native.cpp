@@ -91,30 +91,4 @@ uint32_t dt_reference_mix(const float* i_in, const float* q_in, size_t n,
     return sn;
 }
 
-// Streaming helpers: read exactly `want` bytes from fd (loop over short
-// reads, mirroring the reference's byte-iterator semantics, main.rs:63) and
-// write fully. Used by the high-rate host IO path.
-#include <unistd.h>
-
-int64_t dt_read_full(int fd, void* buf, size_t want) {
-    size_t got = 0;
-    while (got < want) {
-        ssize_t r = read(fd, (char*)buf + got, want - got);
-        if (r < 0) return -1;
-        if (r == 0) break;
-        got += (size_t)r;
-    }
-    return (int64_t)got;
-}
-
-int64_t dt_write_full(int fd, const void* buf, size_t len) {
-    size_t put = 0;
-    while (put < len) {
-        ssize_t w = write(fd, (const char*)buf + put, len - put);
-        if (w < 0) return -1;
-        put += (size_t)w;
-    }
-    return (int64_t)put;
-}
-
 }  // extern "C"

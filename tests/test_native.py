@@ -32,6 +32,22 @@ def test_i16_encode_matches_oracle():
     assert got == want
 
 
+def test_f32_planar_roundtrip():
+    """The planar staging codecs (Pipeline._stage_in/_stage_out planar=True
+    paths) must deinterleave/interleave exactly, including into padded
+    destination rows."""
+    pairs = RNG.normal(size=(777, 2)).astype("<f4")
+    i_out = np.zeros(1024, dtype="<f4")
+    q_out = np.zeros(1024, dtype="<f4")
+    native.f32_pairs_to_planar_into(pairs, i_out, q_out)
+    np.testing.assert_array_equal(i_out[:777], pairs[:, 0])
+    np.testing.assert_array_equal(q_out[:777], pairs[:, 1])
+    assert not i_out[777:].any() and not q_out[777:].any()
+
+    back = native.planar_to_f32_pairs(i_out[:777], q_out[:777])
+    np.testing.assert_array_equal(back, pairs)
+
+
 def test_reference_mix_matches_numpy_oracle():
     n = 30000  # crosses the 9660.609375/256000 rounding reset at 20802
     x = (0.3 * (RNG.normal(size=n) + 1j * RNG.normal(size=n))).astype(np.complex64)
