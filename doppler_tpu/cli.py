@@ -215,13 +215,23 @@ def _resolve_impl(impl: str) -> str:
     """'auto' → fused Pallas kernels on TPU, XLA graphs on CPU."""
     if impl != "auto":
         return impl
+    return "xla" if _platform_is_cpu() else "pallas"
+
+
+def _platform_is_cpu() -> bool:
     import jax
 
     try:
-        plat = jax.devices()[0].platform.lower()
+        return jax.devices()[0].platform.lower() == "cpu"
     except Exception:
-        return "xla"
-    return "xla" if plat == "cpu" else "pallas"
+        return True
+
+
+def _pallas_interpret_needed(impl: str) -> bool:
+    """Explicit --impl pallas on a CPU backend runs the kernels in the
+    Pallas interpreter (Mosaic only compiles for TPU) — slow but correct,
+    and what the sharding-equivalence tests exercise."""
+    return impl == "pallas" and _platform_is_cpu()
 
 
 def _resolve_chunk_blocks(arg, samplerate: int, block_samples: int,
@@ -316,6 +326,8 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                 chunk_blocks=chunk_blocks,
                 quantize_ratio_f32=not args.exact_ratio,
                 impl=_resolve_impl(args.impl),
+                pallas_interpret=_pallas_interpret_needed(
+                    _resolve_impl(args.impl)),
                 mesh=mesh,
                 drain_on_eof=args.drain,
             )
@@ -432,6 +444,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
             chunk_blocks=chunk_blocks,
             quantize_ratio_f32=not args.exact_ratio,
             impl=_resolve_impl(args.impl),
+            pallas_interpret=_pallas_interpret_needed(_resolve_impl(args.impl)),
             drain_on_eof=args.drain,
             prefetch_chunks=args.prefetch_chunks,
             mesh=mesh,

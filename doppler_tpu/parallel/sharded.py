@@ -44,6 +44,7 @@ __all__ = [
     "shard_alignment",
     "make_wideband_mix_step",
     "make_wideband_stream_step",
+    "make_chain_stream_step",
 ]
 
 
@@ -386,5 +387,85 @@ def make_wideband_stream_step(mesh, *, intype: str, outtype: str, C: int,
         + (P("channel", None), P("channel", None), P(), P()),
         out_specs=(out_spec,
                    P("channel", "time", None), P("channel", "time", None)),
+    )
+    return jax.jit(fn)
+
+
+def make_chain_stream_step(mesh, *, resampler, interpret: bool = False):
+    """Sharded *fused-Pallas-chain* step — ``--mesh`` + ``--impl pallas``.
+
+    Per time shard the device program IS the 10-GS/s-class fused chain
+    kernel (``ops.pallas.chain``): decode → NCO mix → polyphase resample →
+    encode in one Pallas launch, so a time-sharded run keeps the unsharded
+    per-chip rate instead of falling back to the XLA formulation.
+
+    The chain's only sequential state is the T−1-sample *mixed* FIR carry.
+    Each shard reconstructs its entering carry without any mixed-sample
+    exchange protocol: the left neighbor's last block (raw i16 words + its
+    7 plan constants — the reference block contract, dsp.rs:117-134) is
+    passed right with ``lax.ppermute`` (ICI on hardware), and the receiving
+    shard replays it through a 1-block call of the *same* chain kernel,
+    discarding the resample output and keeping ``carry_out`` — the mixed
+    tail rows.  Because the replay runs identical kernel code on identical
+    inputs, the carry is bitwise what the unsharded kernel would have held
+    entering that block, so sharded output is byte-identical to the
+    unsharded ``--impl pallas`` run (pinned in tests/test_sharded_pipeline).
+    Shard 0 instead selects the streamed ``carry_in`` from the previous
+    chunk.  Replay cost: one extra block per shard per chunk (≈1/B_loc).
+
+    ``step(words, d_hi, …, t, carry_in, taps)``:
+
+    - ``words``    : (B, L) i16 words, sharded ('time', None);
+    - plans        : (1, B) uint32, sharded ('channel', 'time');
+    - ``carry_in`` : (2, HBR, 128) f32 mixed carry entering the chunk,
+                     replicated (only shard 0 reads it);
+    - ``taps``     : :func:`ops.pallas.chain.make_chain_taps` output,
+                     replicated.
+
+    Returns ``(out, carries)``: ``out`` (B, L·P/Q) i16 words sharded
+    ('time', None) — already in stream order — and ``carries``
+    (n_time, 2, HBR, 128); row [-1] is the next chunk's ``carry_in``.
+    """
+    from doppler_tpu.ops.pallas.chain import (
+        carry_rows,
+        mix_resample_chain_pallas_stream,
+    )
+
+    n_time = mesh.shape["time"]
+    Pr, Qr, T = resampler.P, resampler.Q, resampler.T
+    HBR = carry_rows(T)
+
+    def local(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
+              carry_in, taps):
+        plans = (d_hi[0], d_lo[0], c1_hi[0], c1_lo[0],
+                 c2_hi[0], c2_lo[0], t[0])
+        if n_time > 1:
+            perm = [(k, k + 1) for k in range(n_time - 1)]
+            halo_w = lax.ppermute(words[-1:], "time", perm=perm)
+            halo_p = [lax.ppermute(a[-1:], "time", perm=perm) for a in plans]
+            zero_c = jnp.zeros((2, HBR, 128), jnp.float32)
+            _, halo_carry = mix_resample_chain_pallas_stream(
+                halo_w, *halo_p, taps, zero_c,
+                P=Pr, Q=Qr, T=T, interpret=interpret,
+            )
+            tidx = lax.axis_index("time")
+            carry = jnp.where(tidx == 0, carry_in, halo_carry)
+        else:
+            carry = carry_in
+        out, carry_out = mix_resample_chain_pallas_stream(
+            words, *plans, taps, carry,
+            P=Pr, Q=Qr, T=T, interpret=interpret,
+        )
+        return out, carry_out[None]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("time", None),) + (P("channel", "time"),) * 7
+        + (P(), P()),
+        out_specs=(P("time", None), P("time", None, None, None)),
+        # pallas_call outputs carry no varying-manual-axes metadata; the
+        # specs above are the full contract
+        check_vma=False,
     )
     return jax.jit(fn)

@@ -146,6 +146,7 @@ class Pipeline:
         self.mesh = mesh
         self._sharded_mix_step = None
         self._sharded_rs_step = None
+        self._sharded_chain_step = None
         if mesh is not None:
             if mesh.shape.get("channel", 1) != 1:
                 raise ValueError(
@@ -180,6 +181,62 @@ class Pipeline:
             )
         if n_loc * resampler.P >= (1 << 31):
             raise ValueError("time shard too large for 32-bit phase math")
+
+    # -- fused-chain plumbing ------------------------------------------------
+
+    def _chain_eligible(self, total: int) -> bool:
+        """May this chunk run the fused Pallas chain kernel?"""
+        rs = self.resampler
+        if rs is None or self.impl != "pallas":
+            return False
+        from doppler_tpu.ops.pallas.chain import carry_rows
+
+        L = self.block_samples
+        return (
+            getattr(rs, "bank", None) is not None  # single-stage only
+            and self.intype == "i16"
+            and self.outtype == "i16"
+            and L % 128 == 0
+            and 128 % rs.Q == 0
+            # FIR history must fit in one block's carry rows
+            and carry_rows(rs.T) <= L // 128
+            # padded tail chunks would poison the carry with zeros;
+            # only the EOF chunk is partial, so this costs nothing
+            and total == self.chunk_blocks * L
+        )
+
+    def _ensure_chain_state(self) -> None:
+        """Seed the chain carry/taps (idempotent; reseeds after fallback)."""
+        from doppler_tpu.ops.pallas.chain import carry_rows, make_chain_taps
+
+        rs = self.resampler
+        if getattr(self, "_chain_carry", None) is None:
+            # seed the carry from the resampler's FIR history so a
+            # checkpoint-restored pipeline resumes bitwise
+            hbr = carry_rows(rs.T)
+            flat = np.zeros((2, hbr * 128), dtype=np.float32)
+            h = rs.T - 1
+            if h > 0:
+                flat[0, hbr * 128 - h:] = np.asarray(rs._hist_i)
+                flat[1, hbr * 128 - h:] = np.asarray(rs._hist_q)
+            self._chain_carry = jnp.asarray(flat.reshape(2, hbr, 128))
+        if getattr(self, "_chain_taps", None) is None:
+            self._chain_taps = jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q))
+
+    def _advance_chain_state(self, total: int, carry) -> int:
+        """Post-dispatch host bookkeeping shared by the unsharded and
+        sharded chain paths: advance the resampler's stream counters and
+        mirror the FIR history out of the device carry (device-lazy — no
+        sync until a checkpoint materializes it).  Returns n_out."""
+        rs = self.resampler
+        n_out = rs.out_count_for(total)
+        rs.m_next += n_out
+        rs.in_consumed += total
+        flat = carry.reshape(2, -1)
+        rs._hist_i = flat[0, flat.shape[1] - (rs.T - 1):]
+        rs._hist_q = flat[1, flat.shape[1] - (rs.T - 1):]
+        self._sample_offset += total
+        return n_out
 
     # -- staging ------------------------------------------------------------
 
@@ -280,58 +337,20 @@ class Pipeline:
             chunk.data, total,
             planar=use_pallas_mix and self.intype == "f32",
         )
-        if rs is not None and self.impl == "pallas":
-            from doppler_tpu.ops.pallas.chain import carry_rows
-
-            chain_ok = (
-                getattr(rs, "bank", None) is not None  # single-stage only
-                and self.intype == "i16"
-                and self.outtype == "i16"
-                and L % 128 == 0
-                and 128 % rs.Q == 0
-                # FIR history must fit in one block's carry rows
-                and carry_rows(rs.T) <= L // 128
-                # padded tail chunks would poison the carry with zeros;
-                # only the EOF chunk is partial, so this costs nothing
-                and total == B * self.block_samples
-            )
-        else:
-            chain_ok = False
+        chain_ok = self._chain_eligible(total)
         if chain_ok:
             from doppler_tpu.ops.pallas.chain import (
-                carry_rows,
-                make_chain_taps,
                 mix_resample_chain_pallas_stream,
             )
 
-            if getattr(self, "_chain_carry", None) is None:
-                # seed the carry from the resampler's FIR history so a
-                # checkpoint-restored pipeline resumes bitwise
-                hbr = carry_rows(rs.T)
-                flat = np.zeros((2, hbr * 128), dtype=np.float32)
-                h = rs.T - 1
-                if h > 0:
-                    flat[0, hbr * 128 - h:] = np.asarray(rs._hist_i)
-                    flat[1, hbr * 128 - h:] = np.asarray(rs._hist_q)
-                self._chain_carry = jnp.asarray(flat.reshape(2, hbr, 128))
-            taps = getattr(self, "_chain_taps", None)
-            if taps is None:
-                taps = jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q))
-                self._chain_taps = taps
+            self._ensure_chain_state()
+            taps = self._chain_taps
             out, self._chain_carry = mix_resample_chain_pallas_stream(
                 jnp.asarray(staged), *(jnp.asarray(a) for a in arrs),
                 taps, self._chain_carry, P=rs.P, Q=rs.Q, T=rs.T,
                 interpret=self.pallas_interpret,
             )
-            n_out = rs.out_count_for(total)
-            # keep the resampler's checkpoint state in sync with the fused
-            # path (device-lazy: no sync until a checkpoint materializes it)
-            rs.m_next += n_out
-            rs.in_consumed += total
-            flat = self._chain_carry.reshape(2, -1)
-            rs._hist_i = flat[0, flat.shape[1] - (rs.T - 1):]
-            rs._hist_q = flat[1, flat.shape[1] - (rs.T - 1):]
-            self._sample_offset += total
+            n_out = self._advance_chain_state(total, self._chain_carry)
             return (out, n_out, False)
 
         mix_planar = False
@@ -411,6 +430,26 @@ class Pipeline:
             self._sample_offset += total
             return (out, total, False)
 
+        if self._chain_eligible(total):
+            # --impl pallas: per-shard device program IS the fused chain
+            # kernel (ppermute halo-block replay carries the FIR state) —
+            # the sharded run keeps the unsharded per-chip rate AND its
+            # bytes (tests/test_sharded_pipeline.py::test_mesh_pallas_*)
+            from doppler_tpu.parallel.sharded import make_chain_stream_step
+
+            if self._sharded_chain_step is None:
+                self._sharded_chain_step = make_chain_stream_step(
+                    self.mesh, resampler=rs, interpret=self.pallas_interpret
+                )
+            self._ensure_chain_state()
+            repl = NamedSharding(self.mesh, Spec())
+            carry = jax.device_put(jnp.asarray(self._chain_carry), repl)
+            taps = jax.device_put(jnp.asarray(self._chain_taps), repl)
+            out, carries = self._sharded_chain_step(data, *plans, carry, taps)
+            self._chain_carry = carries[-1]
+            n_out = self._advance_chain_state(total, self._chain_carry)
+            return (out, n_out, False)
+
         if getattr(rs, "bank", None) is not None and total == B * L:
             if self._sharded_rs_step is None:
                 self._sharded_rs_step = make_wideband_stream_step(
@@ -439,6 +478,7 @@ class Pipeline:
             return ("sharded_rs", out, out_counts)
 
         # partial EOF chunk (or cascade): single-device, history-seeded
+        self._chain_carry = None   # next chain chunk reseeds from rs history
         out = _chunk_kernel(
             jnp.asarray(staged), *(jnp.asarray(a) for a in arrs),
             intype=self.intype, outtype="f32",

