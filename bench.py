@@ -26,8 +26,8 @@ def main() -> int:
     ap.add_argument("--platform", choices=["default", "cpu"], default="default")
     ap.add_argument(
         "--mode",
-        choices=["chain", "chain-pallas", "mix", "mix-pallas", "channels",
-                 "channels-pallas"],
+        choices=["chain", "chain-pallas", "chain-mesh", "mix", "mix-pallas",
+                 "channels", "channels-pallas"],
         default="chain-pallas",
         help="default chain-pallas: the BASELINE primary metric (NCO mix + "
              "polyphase resample per chip, config-3 shape) on the fused "
@@ -38,6 +38,13 @@ def main() -> int:
     )
     ap.add_argument("--channels", type=int, default=16,
                     help="channel count for --mode channels (config 4)")
+    ap.add_argument("--mesh-time", type=int, default=0,
+                    help="time-shard width for --mode chain-mesh "
+                         "(0 = all visible devices)")
+    ap.add_argument("--mesh-scan", action="store_true",
+                    help="chain-mesh: measure every power-of-two width up "
+                         "to --mesh-time and report per-chip efficiency "
+                         "vs time=1 (the BASELINE scaling-efficiency row)")
     ap.add_argument("--samples", type=int, default=1 << 25)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument(
@@ -50,6 +57,13 @@ def main() -> int:
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the timed loop")
     args = ap.parse_args()
+
+    if args.platform == "cpu" and "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        # fake devices so --mode chain-mesh can scan widths on CPU
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
     import jax
 
@@ -138,6 +152,95 @@ def main() -> int:
             )
 
         metric = "mix_resample_chain_pallas_i16_samples_per_s_chip"
+    elif args.mode == "chain-mesh":
+        # Scaling harness (BASELINE "Scaling efficiency" row): the sharded
+        # product step — fused Pallas chain per time shard, ppermute
+        # halo-block replay — over a (channel=1, time=N) mesh.  On this
+        # 1-chip rig N=1 (pins "no sharding cliff": per-chip rate within a
+        # few % of the unsharded chain); on a pod slice, --mesh-scan maps
+        # the whole 1→N efficiency curve.  CPU runs use the Pallas
+        # interpreter — harness validation only, not a rate measurement.
+        from jax.sharding import NamedSharding, PartitionSpec as Spec
+
+        from doppler_tpu.ops.pallas.chain import carry_rows, make_chain_taps
+        from doppler_tpu.parallel import make_mesh
+        from doppler_tpu.parallel.sharded import make_chain_stream_step
+
+        n_dev = len(jax.devices())
+        n_time = args.mesh_time or n_dev
+        if B % n_time:
+            raise SystemExit(f"blocks {B} not divisible by time={n_time}")
+        interp = args.platform == "cpu"
+        taps_host = jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q))
+        carry_host = jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32)
+        K = max(1, args.dispatches)
+
+        def measure_width(nt):
+            mesh = make_mesh(time=nt, channel=1)
+            step = make_chain_stream_step(mesh, resampler=rs,
+                                          interpret=interp)
+            repl = NamedSharding(mesh, Spec())
+            d = jax.device_put(jnp.asarray(words),
+                               NamedSharding(mesh, Spec("time", None)))
+            plans = [
+                jax.device_put(jnp.asarray(a)[None],
+                               NamedSharding(mesh, Spec("channel", "time")))
+                for a in (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+                          plan.c2_hi, plan.c2_lo, plan.t)
+            ]
+            carry = jax.device_put(carry_host, repl)
+            taps = jax.device_put(taps_host, repl)
+            out, _ = step(d, *plans, carry, taps)
+            jax.block_until_ready(out)
+            times = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                accs = []
+                for _k in range(K):
+                    o, _c = step(d, *plans, carry, taps)
+                    accs.append(jnp.sum(o.reshape(-1)[:8].astype(jnp.float32)))
+                acc = accs[0]
+                for a in accs[1:]:
+                    acc = acc + a
+                float(acc)
+                times.append(time.perf_counter() - t0)
+            return min(times)
+
+        widths = [n_time]
+        if args.mesh_scan:
+            widths = [w for w in (1, 2, 4, 8, 16, 32, 64) if w <= n_time]
+            if widths[-1] != n_time:
+                widths.append(n_time)
+        rates = {}
+        for w in widths:
+            best = measure_width(w)
+            rates[w] = N * K / best
+            print(
+                f"bench chain-mesh time={w}: {K} x {N} samples in "
+                f"{best*1e3:.2f} ms best ({rates[w]/1e9:.3f} GS/s aggregate, "
+                f"{rates[w]/w/1e9:.3f} GS/s/chip)",
+                file=sys.stderr,
+            )
+        if len(rates) > 1:
+            base = rates[widths[0]] / widths[0]
+            for w in widths[1:]:
+                eff = (rates[w] / w) / base
+                print(f"  scaling efficiency time={w} vs time={widths[0]}: "
+                      f"{100 * eff:.1f}%", file=sys.stderr)
+        rate = rates[n_time]
+        extra = {"mesh_time": n_time}
+        if len(rates) > 1:
+            extra["efficiency_vs_time1"] = (
+                (rates[n_time] / n_time) / (rates[widths[0]] / widths[0])
+            )
+        print(json.dumps({
+            "metric": "chain_mesh_i16_samples_per_s_aggregate",
+            "value": rate,
+            "unit": "samples/s",
+            "vs_baseline": rate / 1.024e6,
+            **extra,
+        }))
+        return 0
     elif args.mode == "channels-pallas":
         # config 4 on the channel-batched fused Pallas chain (the runtime's
         # impl='pallas' channels path): ONE kernel launch for all channels

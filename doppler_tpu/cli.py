@@ -153,6 +153,24 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
                         "'time=4' or 'time=2,channel=4' (channel>1 only in "
                         "channels mode); emitted bytes are identical to the "
                         "unsharded run")
+    p.add_argument("--input", metavar="FILE", default=None,
+                   help="read IQ from a seekable file instead of stdin "
+                        "(required with --distributed)")
+    p.add_argument("--output", metavar="FILE", default=None,
+                   help="write IQ to a file instead of stdout; under "
+                        "--distributed host k writes FILE.partK and "
+                        "concatenating the parts reproduces the "
+                        "single-process stream bitwise")
+    p.add_argument("--distributed", metavar="SPEC", default=None,
+                   help="join a multi-host run: coordinator=HOST:PORT,"
+                        "num_processes=N,process_id=K.  Hosts split the "
+                        "capture by chunk-aligned byte ranges (channels "
+                        "mode: by channel) with zero cross-host traffic — "
+                        "state at each boundary is seeded exactly from "
+                        "absolute stream position (resume = seek)")
+    p.add_argument("--host-channels", type=int, default=None, metavar="HC",
+                   help="channels mode: channel-parallel host count "
+                        "(default: all hosts split the channel axis)")
     p.add_argument("--save-state", metavar="PATH", default=None,
                    help="write a resumable checkpoint (.npz) at EOF")
     p.add_argument("--load-state", metavar="PATH", default=None,
@@ -267,9 +285,49 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                        fmt=getattr(args, "log_format", "fern"))
     _select_platform(args.platform)
 
+    dist_nproc, dist_pid = 1, 0
+    if args.distributed:
+        from doppler_tpu.parallel import distributed
+
+        try:
+            spec = distributed.parse_distributed_spec(args.distributed)
+        except ValueError as e:
+            log.error("%s", e)
+            return 1
+        import jax
+
+        distributed.init(**spec)
+        dist_nproc, dist_pid = jax.process_count(), jax.process_index()
+        log.info("distributed: process %d of %d", dist_pid, dist_nproc)
+        if dist_nproc > 1 and not args.input:
+            log.error("--distributed needs --input FILE (hosts seek to "
+                      "their own byte ranges; a pipe cannot be split)")
+            return 1
+        if dist_nproc > 1 and (args.save_state or args.load_state):
+            log.error("--distributed with --save/load-state is not "
+                      "supported (checkpoint per host instead)")
+            return 1
+
     outtype = args.outtype or args.intype
-    stdin = stdin if stdin is not None else sys.stdin.buffer
-    stdout = stdout if stdout is not None else sys.stdout.buffer
+    if args.input:
+        try:
+            stdin = open(args.input, "rb")
+        except OSError as e:
+            log.error("%s", e)
+            return 1
+    elif stdin is None:
+        stdin = sys.stdin.buffer
+    if args.output and args.mode != "channels":
+        out_path = args.output
+        if dist_nproc > 1:
+            out_path = f"{args.output}.part{dist_pid}"
+        try:
+            stdout = open(out_path, "wb")
+        except OSError as e:
+            log.error("%s", e)
+            return 1
+    elif stdout is None:
+        stdout = sys.stdout.buffer
     try:
         chunk_blocks = _resolve_chunk_blocks(
             args.chunk_blocks, args.samplerate,
@@ -314,6 +372,24 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         except (OSError, KeyError, ValueError) as e:
             log.error("bad channel config: %s", e)
             return 1
+        if dist_nproc > 1:
+            from doppler_tpu.parallel.distributed import host_slice
+
+            try:
+                shard = host_slice(
+                    len(specs), 1,
+                    process_index=dist_pid, process_count=dist_nproc,
+                    channel_parallel_hosts=args.host_channels or dist_nproc,
+                )
+            except ValueError as e:
+                log.error("%s", e)
+                return 1
+            specs = specs[shard.channel_lo:shard.channel_hi]
+            log.info("host %d owns channels [%d, %d)", dist_pid,
+                     shard.channel_lo, shard.channel_hi)
+            if not specs:
+                log.info("host %d: no channels to process", dist_pid)
+                return 0
         log.info("multi-channel mode: %d channels", len(specs))
         for s in specs:
             log.info("\tchannel %-16s center offset %+.0f Hz",
@@ -458,6 +534,47 @@ def main(argv=None, stdin=None, stdout=None) -> int:
     except ValueError as e:
         log.error("%s", e)
         return 1
+
+    if dist_nproc > 1:
+        # Multi-host stream split (parallel/distributed.py): chunk-aligned
+        # byte ranges so every host sees the same chunk boundaries the
+        # single-process run has — concat(part files) is bitwise that run.
+        import os as _os
+
+        from doppler_tpu.parallel.distributed import host_slice
+        from doppler_tpu.runtime.stream import ByteRangeReader
+
+        if not args.output:
+            log.error("--distributed needs --output FILE "
+                      "(per-host part files)")
+            return 1
+        if args.mode == "track" and args.time is None:
+            log.error("--distributed track mode needs --time "
+                      "(wall-clock schedules are not host-splittable)")
+            return 1
+        size = _os.stat(args.input).st_size
+        chunk_bytes = args.block_bytes * chunk_blocks
+        n_chunks = max(1, -(-size // chunk_bytes))
+        shard = host_slice(1, n_chunks, process_index=dist_pid,
+                           process_count=dist_nproc)
+        lo = shard.block_lo * chunk_bytes
+        hi = min(size, shard.block_hi * chunk_bytes)
+        history = None
+        if lo > 0 and pipe.resampler is not None:
+            with open(args.input, "rb") as hf:
+                hf.seek(lo - args.block_bytes)
+                history = hf.read(args.block_bytes)
+        try:
+            pipe.seek_to_block(shard.block_lo * chunk_blocks,
+                               history=history)
+        except ValueError as e:
+            log.error("%s", e)
+            return 1
+        stdin = ByteRangeReader(open(args.input, "rb"), lo, hi)
+        if dist_pid != dist_nproc - 1:
+            pipe.drain_on_eof = False   # only the stream's last host drains
+        log.info("host %d owns chunks [%d, %d) = bytes [%d, %d)",
+                 dist_pid, shard.block_lo, shard.block_hi, lo, hi)
 
     if args.load_state:
         from doppler_tpu.runtime import checkpoint

@@ -1,18 +1,25 @@
 """Multi-host initialization and stream partitioning.
 
 The reference is strictly single-process (SURVEY §2); pod-scale operation is
-designed from the north star instead:
+designed from the north star instead — and designed around the framework's
+central theorem: *every per-sample quantity is a pure function of absolute
+stream position* (NCO phase via the host-emulated counter, resampler
+alignment via Bresenham on absolute indices, FIR history via the T−1
+preceding samples).  "Resume = seek" therefore also means "distribute =
+seek": hosts split the capture by byte range, each seeds its state exactly
+at its boundary (``Pipeline.seek_to_block``) and reads its own T−1-sample
+history directly from the file — so the host axis needs **zero DCN
+traffic**, not even halo exchange.  Within a host, chips form the usual
+``(channel, time)`` mesh with ICI halos (``parallel.sharded``).
 
-- every host calls :func:`init` (a thin ``jax.distributed.initialize``
-  wrapper) and builds the same global ``(channel, time)`` mesh
-  (``parallel.mesh.make_mesh`` over ``jax.devices()``);
-- each host feeds only its own slice of the capture — channel-major first
-  (channels are independent; no cross-host traffic at all), then time-major
-  within a host's chips (halos ride ICI, never DCN);
+- every host calls :func:`init` (a ``jax.distributed.initialize`` wrapper;
+  on CPU backends it selects the gloo TCP collectives so the same topology
+  runs in miniature on fake devices — tests/test_distributed.py);
 - :func:`host_slice` computes which (channel, time-block) range this host
-  owns for a given chunk so per-host readers can seek independently —
-  byte offsets are pure functions of the block index (SURVEY §5
-  "checkpoint/resume": resume = seek, here across space instead of time).
+  owns, channel-major first (channels are embarrassingly parallel), then
+  time blocks;
+- ``HostShard.byte_range`` turns the block range into input-file seek
+  offsets so per-host readers are independent.
 
 Single-chip environments skip ``init`` entirely; everything else in the
 framework works unchanged.
@@ -24,15 +31,59 @@ from dataclasses import dataclass
 
 import jax
 
-__all__ = ["init", "host_slice", "HostShard"]
+__all__ = ["init", "host_slice", "HostShard", "parse_distributed_spec"]
+
+
+def parse_distributed_spec(text: str) -> dict:
+    """Parse ``--distributed coordinator=H:P,num_processes=N,process_id=K``.
+
+    Any key may be omitted and falls back to JAX's own environment-based
+    auto-detection inside ``jax.distributed.initialize``.
+    """
+    out: dict = {}
+    for part in text.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(
+                f"{part!r} isn't a valid --distributed entry "
+                "(want coordinator=HOST:PORT,num_processes=N,process_id=K)"
+            )
+        key, val = part.split("=", 1)
+        key = key.strip()
+        if key == "coordinator":
+            out["coordinator_address"] = val.strip()
+        elif key in ("num_processes", "process_id"):
+            try:
+                out[key] = int(val)
+            except ValueError:
+                raise ValueError(
+                    f"--distributed {key} must be an integer"
+                ) from None
+        else:
+            raise ValueError(f"unknown --distributed key {key!r}")
+    return out
 
 
 def init(coordinator_address: str | None = None,
          num_processes: int | None = None,
          process_id: int | None = None) -> None:
-    """Join the multi-host JAX runtime (no-op when single-process)."""
+    """Join the multi-host JAX runtime (no-op when single-process).
+
+    Must run before the first JAX backend touch.  On CPU platforms the
+    gloo TCP collectives are selected so multi-process CPU runs work —
+    this is how the multi-host topology is tested without a pod
+    (SURVEY §4c).
+    """
     if num_processes is None or num_processes <= 1:
         return
+    try:
+        plat = jax.config.jax_platforms
+    except AttributeError:  # pragma: no cover
+        plat = None
+    if plat and str(plat).split(",")[0] == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -42,7 +93,7 @@ def init(coordinator_address: str | None = None,
 
 @dataclass
 class HostShard:
-    """This host's slice of a (C channels × B blocks) chunk."""
+    """This host's slice of a (C channels × B blocks) capture."""
 
     channel_lo: int
     channel_hi: int
@@ -65,8 +116,8 @@ def host_slice(
 
     With H hosts and ``channel_parallel_hosts = Hc`` (default: as many as
     divide the channel count), hosts form an (Hc × Ht) grid: channels split
-    over Hc (zero communication), time blocks over Ht = H/Hc (halo over
-    ICI/DCN boundary only at host edges).
+    over Hc (zero communication), time blocks over Ht = H/Hc (history read
+    straight from the shared capture — still zero communication).
     """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count

@@ -24,8 +24,15 @@ __all__ = ["make_mesh", "iq_sharding", "plan_sharding", "P"]
 
 
 def make_mesh(time: int = 1, channel: int = 1, devices=None) -> Mesh:
-    """Build a ``(channel, time)`` mesh from the available devices."""
-    devices = list(devices if devices is not None else jax.devices())
+    """Build a ``(channel, time)`` mesh from the available devices.
+
+    Defaults to the *process-local* devices: under multi-host operation
+    (``parallel.distributed.init``) each host runs its own mesh over its
+    own chips — the host axis is decomposed by stream/channel range
+    (``host_slice``), not by a global device mesh, so no collective ever
+    crosses DCN (see parallel/distributed.py).
+    """
+    devices = list(devices if devices is not None else jax.local_devices())
     need = time * channel
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")

@@ -238,6 +238,124 @@ class Pipeline:
         self._sample_offset += total
         return n_out
 
+    # -- multi-host seek -----------------------------------------------------
+
+    def seek_to_block(self, n_blocks: int, history: bytes | None = None) -> None:
+        """Fast-forward a FRESH pipeline to block ``n_blocks`` without
+        processing the prefix — the multi-host "distribute = seek" primitive
+        (parallel/distributed.py; SURVEY §5 checkpoint/resume).
+
+        Replays the scheduler and the exact NCO-counter emulation over the
+        skipped prefix (O(blocks) host work, zero device work, zero
+        communication), seeds the resampler's stream counters from
+        absolute-index arithmetic, and reconstructs its T−1-sample FIR
+        history by mixing ``history`` — the raw bytes of block
+        ``n_blocks − 1``, read straight from the shared capture — through
+        the same per-block kernel the stream path uses.  A host seeded this
+        way emits exactly the bytes the single-process run emits from that
+        offset (tests/test_distributed.py pins this bitwise).
+        """
+        if n_blocks < 0:
+            raise ValueError("n_blocks must be >= 0")
+        if self._sample_offset:
+            raise ValueError("seek_to_block needs a fresh pipeline")
+        L = self.block_samples
+        last_plan = None
+        done = 0
+        while done < n_blocks:
+            n = min(self.chunk_blocks, n_blocks - done)
+            counts = [L] * n
+            shifts = list(self.scheduler.shifts(counts))
+            last_plan = plan_blocks(
+                shifts, counts, self.samplerate, self.nco_state, L,
+                quantize_f32=self.quantize_ratio_f32,
+                reset_quirk=self.reset_quirk,
+            )
+            done += n
+        self._sample_offset = n_blocks * L
+        rs = self.resampler
+        if rs is None:
+            return
+        if getattr(rs, "bank", None) is None:
+            raise ValueError(
+                "multi-host seek supports single-stage resamplers only "
+                "(a cascade's inner-stage history is not seekable from raw "
+                "input; use --resample-stages single)"
+            )
+        s_lo = n_blocks * L
+        rs.in_consumed = s_lo
+        rs.m_next = -(-s_lo * rs.P // rs.Q)
+        if rs.T <= 1 or n_blocks == 0:
+            return
+        if history is None or len(history) != self.block_bytes:
+            raise ValueError(
+                "seek with a resampler needs the raw bytes of the "
+                "preceding full block as history"
+            )
+        pa = [
+            np.asarray(getattr(last_plan, f))[-1:]
+            for f in ("d_hi", "d_lo", "c1_hi", "c1_lo", "c2_hi", "c2_lo", "t")
+        ]
+        h = rs.T - 1
+        if self._chain_eligible(self.chunk_blocks * L):
+            # replay through a 1-block call of the chain kernel — identical
+            # kernel code to the stream path, so the carry is bitwise the
+            # virtual previous host's (same trick as the sharded halo replay)
+            from doppler_tpu.ops.pallas.chain import (
+                carry_rows,
+                mix_resample_chain_pallas_stream,
+            )
+
+            self._ensure_chain_state()
+            flat = np.zeros(L, dtype="<i4")
+            flat[:] = codec.bytes_to_i16_words(history)
+            zero_c = jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32)
+            _, carry = mix_resample_chain_pallas_stream(
+                jnp.asarray(flat.reshape(1, L)),
+                *(jnp.asarray(a) for a in pa),
+                self._chain_taps, zero_c, P=rs.P, Q=rs.Q, T=rs.T,
+                interpret=self.pallas_interpret,
+            )
+            self._chain_carry = carry
+            cf = carry.reshape(2, -1)
+            rs._hist_i = cf[0, cf.shape[1] - h:]
+            rs._hist_q = cf[1, cf.shape[1] - h:]
+            return
+        # XLA / Pallas-mixer paths: mix the single history block with the
+        # same kernel the stream uses (bitwise chunk-width-stable, pinned
+        # by the chunked-vs-streaming equality tests)
+        use_pallas_mix = self.impl == "pallas" and L % 128 == 0
+        if self.intype == "i16":
+            flat = np.zeros(L, dtype="<i4")
+            flat[:] = codec.bytes_to_i16_words(history)
+            staged = flat.reshape(1, L)
+        elif use_pallas_mix:
+            pairs = codec.bytes_to_f32_pairs(history)
+            flat = np.zeros((2, L), dtype="<f4")
+            native.f32_pairs_to_planar_into(pairs, flat[0], flat[1])
+            staged = flat.reshape(2, 1, L)
+        else:
+            staged = codec.bytes_to_f32_pairs(history).reshape(1, L, 2)
+        if use_pallas_mix:
+            from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas_fmt
+
+            out = mix_blocks_pallas_fmt(
+                jnp.asarray(staged), *(jnp.asarray(a) for a in pa),
+                intype=self.intype, outtype="f32",
+                interpret=self.pallas_interpret,
+            )
+            planes = out.reshape(2, -1)
+            mi, mq = planes[0], planes[1]
+        else:
+            out = _chunk_kernel(
+                jnp.asarray(staged), *(jnp.asarray(a) for a in pa),
+                intype=self.intype, outtype="f32",
+            )
+            flat_out = out.reshape(-1, 2)
+            mi, mq = flat_out[:, 0], flat_out[:, 1]
+        rs._hist_i = mi[L - h:]
+        rs._hist_q = mq[L - h:]
+
     # -- staging ------------------------------------------------------------
 
     def _stage_in(self, data: bytes, total_samples: int, planar: bool = False):

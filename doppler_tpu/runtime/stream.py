@@ -23,6 +23,7 @@ from dataclasses import dataclass
 
 __all__ = [
     "BlockReader",
+    "ByteRangeReader",
     "Chunk",
     "ChunkPrefetcher",
     "REFERENCE_BLOCK_BYTES",
@@ -150,3 +151,34 @@ class ChunkPrefetcher:
         if isinstance(item, Exception):
             raise item
         return item
+
+
+class ByteRangeReader:
+    """File-like view of ``[lo, hi)`` of a seekable binary file.
+
+    The multi-host input path (parallel/distributed.py): each host opens
+    the shared capture and streams only its own byte range; EOF is the
+    range end, so the per-host pipeline sees exactly its sub-stream with
+    the reference's short-read semantics.
+    """
+
+    def __init__(self, f, lo: int, hi: int):
+        if lo < 0 or hi < lo:
+            raise ValueError(f"bad byte range [{lo}, {hi})")
+        self._f = f
+        self._end = int(hi)
+        self._pos = int(lo)
+        f.seek(self._pos)
+
+    def read(self, n: int = -1) -> bytes:
+        remaining = self._end - self._pos
+        if remaining <= 0:
+            return b""
+        if n is None or n < 0 or n > remaining:
+            n = remaining
+        data = self._f.read(n)
+        self._pos += len(data)
+        return data
+
+    def close(self) -> None:
+        self._f.close()

@@ -1,0 +1,238 @@
+"""Multi-host seam: spec parsing, byte-range readers, seek-based state
+seeding, and a real two-process smoke over a localhost coordinator.
+
+The host axis is decomposed with ZERO cross-host traffic (see
+parallel/distributed.py): hosts split the capture by chunk-aligned byte
+ranges and seed their state exactly from absolute stream position
+(``Pipeline.seek_to_block`` — the "distribute = seek" corollary of
+"resume = seek", SURVEY §5).  The two-process tests spawn real CLI
+processes, each joining ``jax.distributed`` with 4 fake CPU devices
+(gloo collectives), and assert the concatenated part files equal the
+single-process run bitwise (VERDICT r2 item 2; BASELINE config 5 in
+miniature).
+"""
+
+import io
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from doppler_tpu.parallel.distributed import (
+    host_slice,
+    parse_distributed_spec,
+)
+from doppler_tpu.runtime.pipeline import ConstScheduler, Pipeline
+from doppler_tpu.runtime.stream import ByteRangeReader
+from doppler_tpu.ops.resample import attach_resampler
+
+RNG = np.random.default_rng(0xDC)
+FS = 1024000
+BB = 8192
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def i16_stream(n):
+    return RNG.integers(-20000, 20000, size=2 * n, dtype=np.int16).astype(
+        "<i2"
+    ).tobytes()
+
+
+def test_parse_distributed_spec():
+    s = parse_distributed_spec(
+        "coordinator=127.0.0.1:9999,num_processes=2,process_id=1"
+    )
+    assert s == {"coordinator_address": "127.0.0.1:9999",
+                 "num_processes": 2, "process_id": 1}
+    assert parse_distributed_spec("") == {}
+    with pytest.raises(ValueError, match="isn't a valid"):
+        parse_distributed_spec("nonsense")
+    with pytest.raises(ValueError, match="integer"):
+        parse_distributed_spec("num_processes=two")
+    with pytest.raises(ValueError, match="unknown"):
+        parse_distributed_spec("bogus=1")
+
+
+def test_byte_range_reader():
+    import tempfile
+
+    data = bytes(range(256)) * 10
+    with tempfile.NamedTemporaryFile() as f:
+        f.write(data)
+        f.flush()
+        r = ByteRangeReader(open(f.name, "rb"), 100, 1100)
+        got = b""
+        while True:
+            b = r.read(64)
+            if not b:
+                break
+            got += b
+        assert got == data[100:1100]
+        r.close()
+        r2 = ByteRangeReader(open(f.name, "rb"), 50, 60)
+        assert r2.read() == data[50:60]
+        assert r2.read() == b""
+        r2.close()
+    with pytest.raises(ValueError):
+        ByteRangeReader(io.BytesIO(b""), 5, 2)
+
+
+def _mk_pipe(impl, scheduler=None, resample=True):
+    p = Pipeline(FS, "i16", "i16", scheduler or ConstScheduler(-15000.0),
+                 chunk_blocks=16, impl=impl,
+                 pallas_interpret=impl == "pallas")
+    if resample:
+        attach_resampler(p, 48000.0)
+    return p
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_seek_to_block_bitwise(impl):
+    """prefix-run + seeked-suffix-run == full run, at chunk-aligned splits
+    (the multi-host partition unit), for both device implementations."""
+    raw = i16_stream(2048 * 16 * 3 + 531)
+    full_p = _mk_pipe(impl)
+    fo = io.BytesIO()
+    full_p.run(io.BytesIO(raw), fo)
+    full = fo.getvalue()
+
+    split_blocks = 32                   # 2 chunks of 16
+    cut = split_blocks * BB
+    pre = _mk_pipe(impl)
+    po = io.BytesIO()
+    pre.run(io.BytesIO(raw[:cut]), po)
+    suf = _mk_pipe(impl)
+    suf.seek_to_block(split_blocks, history=raw[cut - BB:cut])
+    so = io.BytesIO()
+    suf.run(io.BytesIO(raw[cut:]), so)
+    assert po.getvalue() + so.getvalue() == full
+
+
+def test_seek_to_block_mix_only():
+    raw = i16_stream(2048 * 16 * 2 + 99)
+    full_p = _mk_pipe("xla", resample=False)
+    fo = io.BytesIO()
+    full_p.run(io.BytesIO(raw), fo)
+    cut = 16 * BB
+    pre = _mk_pipe("xla", resample=False)
+    po = io.BytesIO()
+    pre.run(io.BytesIO(raw[:cut]), po)
+    suf = _mk_pipe("xla", resample=False)
+    suf.seek_to_block(16)               # no history needed without FIR state
+    so = io.BytesIO()
+    suf.run(io.BytesIO(raw[cut:]), so)
+    assert po.getvalue() + so.getvalue() == fo.getvalue()
+
+
+def test_seek_rejects_mid_stream_and_cascade():
+    p = _mk_pipe("xla")
+    with pytest.raises(ValueError, match="history"):
+        p.seek_to_block(16)             # resampler but no history bytes
+    p2 = _mk_pipe("xla", resample=False)
+    p2._sample_offset = 5
+    with pytest.raises(ValueError, match="fresh"):
+        p2.seek_to_block(16)
+    p3 = Pipeline(FS, "i16", "i16", ConstScheduler(0.0), chunk_blocks=16)
+    attach_resampler(p3, 48000.0, stages="multi")
+    with pytest.raises(ValueError, match="single-stage"):
+        p3.seek_to_block(16, history=b"\0" * BB)
+
+
+# ---------------------------------------------------------------------------
+# two-process smoke (real coordinator, gloo CPU collectives)
+# ---------------------------------------------------------------------------
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_cli(extra, env):
+    return subprocess.Popen(
+        [sys.executable, "-m", "doppler_tpu"] + extra,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO, env=env,
+    )
+
+
+def _run_two_hosts(base_args, tmp_path, n_local_devices=4):
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_local_devices}"
+    )
+    procs = []
+    for pid in range(2):
+        dist = (f"coordinator=127.0.0.1:{port},"
+                f"num_processes=2,process_id={pid}")
+        procs.append(_spawn_cli(base_args + ["--distributed", dist], env))
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (_, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-3000:]
+
+
+def test_two_process_stream_split(tmp_path):
+    """Two CLI processes, one shared capture file, chunk-aligned byte-range
+    split: concat(out.part0, out.part1) == the single-process output."""
+    raw = i16_stream(2048 * 16 * 5 + 3111)   # 5 full chunks + ragged tail
+    inp = tmp_path / "in.iq"
+    inp.write_bytes(raw)
+    out = tmp_path / "out.iq"
+    base = ["const", "-s", str(FS), "-i", "i16", "--shift", "-15000",
+            "--resample-to", "48000", "--chunk-blocks", "16",
+            "--platform", "cpu", "--input", str(inp)]
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    single = tmp_path / "single.iq"
+    p = _spawn_cli(base + ["--output", str(single)], env)
+    _, err = p.communicate(timeout=420)
+    assert p.returncode == 0, err.decode()[-3000:]
+
+    _run_two_hosts(base + ["--output", str(out)], tmp_path)
+    got = (tmp_path / "out.iq.part0").read_bytes() + (
+        tmp_path / "out.iq.part1"
+    ).read_bytes()
+    assert got == single.read_bytes() and len(got) > 0
+
+
+def test_two_process_channels_split(tmp_path):
+    """Channels mode: hosts split the channel axis (zero communication);
+    the union of per-channel files equals the single-process run."""
+    import json
+
+    raw = i16_stream(2048 * 16 * 2 + 777)
+    inp = tmp_path / "in.iq"
+    inp.write_bytes(raw)
+    cfg = {"channels": [
+        {"name": f"ch{k}", "shift": -30000.0 + 9000 * k,
+         "center_offset": 250.0 * k}
+        for k in range(4)
+    ]}
+    cfgp = tmp_path / "chan.json"
+    cfgp.write_text(json.dumps(cfg))
+
+    def base(outdir):
+        return ["channels", "-s", str(FS), "-i", "i16",
+                "--config", str(cfgp), "--resample-to", "48000",
+                "--chunk-blocks", "16", "--platform", "cpu",
+                "--input", str(inp), "--output-dir", str(outdir)]
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sdir = tmp_path / "single"
+    p = _spawn_cli(base(sdir), env)
+    _, err = p.communicate(timeout=420)
+    assert p.returncode == 0, err.decode()[-3000:]
+
+    ddir = tmp_path / "dist"
+    _run_two_hosts(base(ddir), tmp_path)
+    for k in range(4):
+        a = (sdir / f"ch{k}.iq").read_bytes()
+        b = (ddir / f"ch{k}.iq").read_bytes()
+        assert a == b and len(a) > 0, f"ch{k} diverged"
