@@ -394,6 +394,21 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         for s in specs:
             log.info("\tchannel %-16s center offset %+.0f Hz",
                      s.name, s.center_offset_hz)
+        # realtime channel schedulers re-evaluate their Doppler curve once
+        # per dispatch, exactly like realtime track mode — an unset
+        # --chunk-blocks must shrink to the ~64 ms 'auto' target here too,
+        # or per-channel updates decimate to one per chunk (advisor r2)
+        from doppler_tpu.orbit import RealtimeTrackScheduler
+
+        if args.chunk_blocks is None and any(
+            isinstance(s.scheduler, RealtimeTrackScheduler) for s in specs
+        ):
+            chunk_blocks = _resolve_chunk_blocks(
+                "auto", args.samplerate,
+                args.block_bytes // stream_bps(args.intype),
+            )
+            log.info("realtime channel(s): chunk-blocks auto = %d",
+                     chunk_blocks)
         try:
             mpipe = MultiChannelPipeline(
                 args.samplerate, args.intype, outtype, specs,

@@ -104,7 +104,15 @@ def f32_pairs_to_planar_into(pairs: np.ndarray, i_out: np.ndarray,
     pairs = np.ascontiguousarray(pairs, dtype=np.float32)
     n = pairs.shape[0]
     lib = _load()
-    if lib and i_out.flags.c_contiguous and q_out.flags.c_contiguous:
+    # the native call writes n raw floats through each pointer — it must
+    # only run when the buffers really are float32 and large enough, else
+    # it would silently corrupt memory where the NumPy path would raise
+    if (
+        lib
+        and i_out.flags.c_contiguous and q_out.flags.c_contiguous
+        and i_out.dtype == np.float32 and q_out.dtype == np.float32
+        and i_out.size >= n and q_out.size >= n
+    ):
         lib.dt_f32_to_planar_f32(
             pairs.ctypes.data, n, i_out.ctypes.data, q_out.ctypes.data
         )

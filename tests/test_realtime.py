@@ -89,3 +89,49 @@ def test_host_slice_partitioning():
     blocks = sorted((s.block_lo, s.block_hi) for s in shards)
     assert blocks == [(0, 16), (16, 32), (32, 48), (48, 64)]
     assert shards[1].byte_range(8192) == (16 * 8192, 32 * 8192)
+
+
+def test_channels_realtime_chunk_default(tmp_path, monkeypatch):
+    """A channels config with realtime (no-time) track entries must resolve
+    an unset --chunk-blocks to the ~64 ms 'auto' target, exactly like
+    realtime track mode — not the 256-block throughput default (advisor
+    r2: per-channel Doppler updates happen once per dispatch)."""
+    import io
+    import json
+    import logging
+
+    from doppler_tpu import cli as cli_mod
+    from doppler_tpu.runtime import channels as channels_mod
+
+    tle = tmp_path / "t.txt"
+    tle.write_text("T\n" + L1 + "\n" + L2 + "\n")
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps({
+        "tlefile": str(tle),
+        "location": "lat=58.3,lon=26.5,alt=76",
+        "channels": [{"name": "a", "tlename": "T", "frequency": 437505000.0}],
+    }))
+
+    seen = {}
+    real = channels_mod.MultiChannelPipeline
+
+    def capture(*a, **kw):
+        seen["chunk_blocks"] = kw.get("chunk_blocks")
+        raise ValueError("stop after capture")
+
+    monkeypatch.setattr(channels_mod, "MultiChannelPipeline", capture)
+    logger = logging.getLogger("doppler_tpu")
+    saved = (list(logger.handlers), logger.propagate, logger.level)
+    try:
+        rc = cli_mod.main(
+            ["channels", "-s", "256000", "-i", "i16", "--config", str(cfg),
+             "--platform", "cpu"],
+            stdin=io.BytesIO(b""), stdout=io.BytesIO(),
+        )
+    finally:
+        logger.handlers, logger.propagate = saved[0], saved[1]
+        logger.setLevel(saved[2])
+        monkeypatch.setattr(channels_mod, "MultiChannelPipeline", real)
+    assert rc == 1  # stopped by the capture stub
+    fs, bs = 256000, 2048
+    assert seen["chunk_blocks"] * bs / fs <= 0.065, seen
