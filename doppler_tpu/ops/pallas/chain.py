@@ -98,7 +98,8 @@ def make_chain_taps(bank: np.ndarray, P: int, Q: int) -> np.ndarray:
     return out
 
 
-def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1):
+def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1,
+                 intype="i16", outtype="i16"):
     SL = L // 128                 # mixed rows per reference block
     WSL = W * SL                  # mixed rows per grid step
     HBR = carry_rows(T)           # history rows
@@ -145,10 +146,14 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1):
         mis, mqs = [], []
         for wi in range(W):
             k = b * W + wi
-            # ---- decode
-            w = words_ref[wi]                   # (SL, 128)
-            fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
-            fq = (w >> 16).astype(jnp.float32) * scale
+            # ---- decode (i16 words unpack; f32 planes pass straight through)
+            if intype == "i16":
+                w = words_ref[wi]               # (SL, 128)
+                fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
+                fq = (w >> 16).astype(jnp.float32) * scale
+            else:
+                fi = words_ref[0, wi]           # (2, W, SL, 128) planar f32
+                fq = words_ref[1, wi]
 
             # ---- exact Q0.64 phase (see ops/pallas/mixer.py)
             d_hi = sidx(d_hi_r, k)
@@ -225,13 +230,26 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1):
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        # ---- encode (reference saturating trunc semantics; the NaN→0
-        # branch is unreachable on this i16-in path — finite mixed samples
-        # through a finite FIR stay finite)
+        if outtype == "f32":
+            # per-plane indexed stores (a stacked store crashes Mosaic)
+            if channels:
+                out_ref[0, 0, 0] = acc[:G]
+                out_ref[1, 0, 0] = acc[G:]
+            else:
+                out_ref[0, 0] = acc[:G]
+                out_ref[1, 0] = acc[G:]
+            return
+
+        # ---- encode (reference saturating trunc semantics).  The NaN→0
+        # branch (main.rs:77-78 via the oracle contract) is reachable only
+        # on f32 input — finite i16-decoded samples through a finite FIR
+        # stay finite, so the i16-in kernel skips the select.
         def enc(v):
-            v = jnp.trunc(v * jnp.float32(32767.0))
-            v = jnp.clip(v, jnp.float32(-32768.0), jnp.float32(32767.0))
-            return v.astype(jnp.int32)
+            w = jnp.trunc(v * jnp.float32(32767.0))
+            w = jnp.clip(w, jnp.float32(-32768.0), jnp.float32(32767.0))
+            if intype != "i16":
+                w = jnp.where(jnp.isnan(v), jnp.float32(0.0), w)
+            return w.astype(jnp.int32)
 
         word = (
             (enc(acc[:G]) & jnp.int32(0xFFFF))
@@ -289,24 +307,39 @@ def wide_chain_taps(taps_merged, D: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("P", "Q", "T", "interpret", "blocks_per_step")
+    jax.jit, static_argnames=("P", "Q", "T", "interpret", "blocks_per_step",
+                              "intype", "outtype")
 )
 def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
                                      c2_hi, c2_lo, t, chain_taps, carry_in,
                                      *, P: int, Q: int, T: int,
                                      interpret: bool = False,
-                                     blocks_per_step: int | None = None):
-    """Streaming fused chain.
+                                     blocks_per_step: int | None = None,
+                                     intype: str = "i16",
+                                     outtype: str = "i16"):
+    """Streaming fused chain, all four wire formats (dsp.rs:85-115).
 
-    ``(B, L)`` i16 words + plans ``(B,)`` + :func:`make_chain_taps` output +
-    ``(2, HBR, 128)`` carry → ``((B, L·P/Q) words, carry_out)``.
+    i16 input: ``(B, L)`` packed int32 words; f32 input: ``(2, B, L)``
+    planar planes (the Pallas staging layout).  i16 output: ``(B, L·P/Q)``
+    words; f32 output: ``(2, B, L·P/Q)`` planes.  Plans ``(B,)`` +
+    :func:`make_chain_taps` output + ``(2, HBR, 128)`` carry; returns
+    ``(out, carry_out)``.
 
     Output m of block b has absolute output index ``b·L·P/Q + m`` (absolute
     output 0 ↔ absolute input 0, zero carry at stream start).
     ``blocks_per_step`` batches W reference blocks per sequential grid step
     (identical output for any W: grouping only changes matmul/DMA sizes).
+
+    NaN caveat (f32 input only): like the banded-matmul XLA formulation
+    (``resample_conv_stream``), a NaN input sample pollutes every output
+    whose matmul rows overlap it — wider than the T-sample window of the
+    gather formulation.  i16→i16 encode output is NaN-free by construction;
+    f32-in→i16-out applies the reference's NaN→0 encode rule.
     """
-    B, L = words.shape
+    if intype == "i16":
+        B, L = words.shape
+    else:
+        _, B, L = words.shape
     if L % Q or L % 128:
         raise ValueError(f"block length {L} must be a multiple of Q={Q} and 128")
     M = L * P // Q
@@ -327,22 +360,38 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
     D = _pick_group_cols(A, CC)
     G = A // D
     NSLICE = taps_rows // 128 + D - 1
-    kernel = _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, D=D)
+    kernel = _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, D=D,
+                          intype=intype, outtype=outtype)
+
+    if intype == "i16":
+        data_spec = pl.BlockSpec((W, SL, 128), lambda b, *_: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        data = words.reshape(B, SL, 128)
+    else:
+        data_spec = pl.BlockSpec((2, W, SL, 128), lambda b, *_: (0, b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        data = words.reshape(2, B, SL, 128)
+    if outtype == "i16":
+        out_spec = pl.BlockSpec((1, G, D * CC), lambda b, *_: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B // W, G, D * CC), jnp.int32)
+    else:
+        out_spec = pl.BlockSpec((2, 1, G, D * CC), lambda b, *_: (0, b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((2, B // W, G, D * CC), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(B // W,),
         in_specs=[
-            pl.BlockSpec((W, SL, 128), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            data_spec,
             pl.BlockSpec((NSLICE * 128, D * CC), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, HBR, 128), lambda b, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, G, D * CC), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            out_spec,
             pl.BlockSpec((2, HBR, 128), lambda b, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
@@ -356,7 +405,7 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B // W, G, D * CC), jnp.int32),
+            out_shape,
             jax.ShapeDtypeStruct((2, HBR, 128), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -368,11 +417,14 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
         jnp.asarray(c1_hi, jnp.uint32), jnp.asarray(c1_lo, jnp.uint32),
         jnp.asarray(c2_hi, jnp.uint32), jnp.asarray(c2_lo, jnp.uint32),
         jnp.asarray(t, jnp.uint32),
-        words.reshape(B, SL, 128), wide_chain_taps(taps_merged, D),
+        data, wide_chain_taps(taps_merged, D),
         jnp.asarray(carry_in, jnp.float32),
     )
-    # epilogue: (B/W, G, D, n_sub, PP) → keep P real phases → stream (B, M)
-    out = out.reshape(B // W, A, n_sub, PP)[..., :P].reshape(B, M)
+    # epilogue: (…, G, D, n_sub, PP) → keep P real phases → stream order
+    if outtype == "i16":
+        out = out.reshape(B // W, A, n_sub, PP)[..., :P].reshape(B, M)
+    else:
+        out = out.reshape(2, B // W, A, n_sub, PP)[..., :P].reshape(2, B, M)
     return out, carry_out
 
 

@@ -391,7 +391,8 @@ def make_wideband_stream_step(mesh, *, intype: str, outtype: str, C: int,
     return jax.jit(fn)
 
 
-def make_chain_stream_step(mesh, *, resampler, interpret: bool = False):
+def make_chain_stream_step(mesh, *, resampler, interpret: bool = False,
+                           intype: str = "i16", outtype: str = "i16"):
     """Sharded *fused-Pallas-chain* step — ``--mesh`` + ``--impl pallas``.
 
     Per time shard the device program IS the 10-GS/s-class fused chain
@@ -434,6 +435,8 @@ def make_chain_stream_step(mesh, *, resampler, interpret: bool = False):
     n_time = mesh.shape["time"]
     Pr, Qr, T = resampler.P, resampler.Q, resampler.T
     HBR = carry_rows(T)
+    planar_in = intype != "i16"     # f32 wire: (2, B, L) planar planes
+    planar_out = outtype != "i16"
 
     def local(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
               carry_in, taps):
@@ -441,12 +444,14 @@ def make_chain_stream_step(mesh, *, resampler, interpret: bool = False):
                  c2_hi[0], c2_lo[0], t[0])
         if n_time > 1:
             perm = [(k, k + 1) for k in range(n_time - 1)]
-            halo_w = lax.ppermute(words[-1:], "time", perm=perm)
+            tail = words[:, -1:] if planar_in else words[-1:]
+            halo_w = lax.ppermute(tail, "time", perm=perm)
             halo_p = [lax.ppermute(a[-1:], "time", perm=perm) for a in plans]
             zero_c = jnp.zeros((2, HBR, 128), jnp.float32)
             _, halo_carry = mix_resample_chain_pallas_stream(
                 halo_w, *halo_p, taps, zero_c,
                 P=Pr, Q=Qr, T=T, interpret=interpret,
+                intype=intype, outtype=outtype,
             )
             tidx = lax.axis_index("time")
             carry = jnp.where(tidx == 0, carry_in, halo_carry)
@@ -455,15 +460,18 @@ def make_chain_stream_step(mesh, *, resampler, interpret: bool = False):
         out, carry_out = mix_resample_chain_pallas_stream(
             words, *plans, taps, carry,
             P=Pr, Q=Qr, T=T, interpret=interpret,
+            intype=intype, outtype=outtype,
         )
         return out, carry_out[None]
 
+    data_spec = P(None, "time", None) if planar_in else P("time", None)
+    out_spec = P(None, "time", None) if planar_out else P("time", None)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("time", None),) + (P("channel", "time"),) * 7
+        in_specs=(data_spec,) + (P("channel", "time"),) * 7
         + (P(), P()),
-        out_specs=(P("time", None), P("time", None, None, None)),
+        out_specs=(out_spec, P("time", None, None, None)),
         # pallas_call outputs carry no varying-manual-axes metadata; the
         # specs above are the full contract
         check_vma=False,

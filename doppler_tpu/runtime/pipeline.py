@@ -194,8 +194,6 @@ class Pipeline:
         L = self.block_samples
         return (
             getattr(rs, "bank", None) is not None  # single-stage only
-            and self.intype == "i16"
-            and self.outtype == "i16"
             and L % 128 == 0
             and 128 % rs.Q == 0
             # FIR history must fit in one block's carry rows
@@ -307,14 +305,22 @@ class Pipeline:
             )
 
             self._ensure_chain_state()
-            flat = np.zeros(L, dtype="<i4")
-            flat[:] = codec.bytes_to_i16_words(history)
+            if self.intype == "i16":
+                flat = np.zeros(L, dtype="<i4")
+                flat[:] = codec.bytes_to_i16_words(history)
+                staged = flat.reshape(1, L)
+            else:
+                pairs = codec.bytes_to_f32_pairs(history)
+                flat = np.zeros((2, L), dtype="<f4")
+                native.f32_pairs_to_planar_into(pairs, flat[0], flat[1])
+                staged = flat.reshape(2, 1, L)
             zero_c = jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32)
             _, carry = mix_resample_chain_pallas_stream(
-                jnp.asarray(flat.reshape(1, L)),
+                jnp.asarray(staged),
                 *(jnp.asarray(a) for a in pa),
                 self._chain_taps, zero_c, P=rs.P, Q=rs.Q, T=rs.T,
                 interpret=self.pallas_interpret,
+                intype=self.intype, outtype=self.outtype,
             )
             self._chain_carry = carry
             cf = carry.reshape(2, -1)
@@ -446,7 +452,14 @@ class Pipeline:
 
         if self.mesh is not None:
             return self._dispatch_sharded(chunk, arrs, total)
+        return self._dispatch_local(chunk, arrs, total)
 
+    def _dispatch_local(self, chunk: streaming.Chunk, arrs, total: int):
+        """Single-device chunk dispatch — also the mesh pipeline's fallback
+        for partial EOF chunks and cascades, so fallback chunks run the
+        EXACT program (incl. the Pallas-vs-XLA mixer choice) the unsharded
+        pipeline runs, keeping mesh output byte-identical."""
+        B = self.chunk_blocks
         mix_outtype = self.outtype if self.resampler is None else "f32"
         L = self.block_samples
         rs = self.resampler
@@ -467,9 +480,10 @@ class Pipeline:
                 jnp.asarray(staged), *(jnp.asarray(a) for a in arrs),
                 taps, self._chain_carry, P=rs.P, Q=rs.Q, T=rs.T,
                 interpret=self.pallas_interpret,
+                intype=self.intype, outtype=self.outtype,
             )
             n_out = self._advance_chain_state(total, self._chain_carry)
-            return (out, n_out, False)
+            return (out, n_out, self.outtype == "f32")
 
         mix_planar = False
         if use_pallas_mix:
@@ -528,11 +542,15 @@ class Pipeline:
         B, L = self.chunk_blocks, self.block_samples
         rs = self.resampler
         n_time = self.mesh.shape["time"]
-        staged = self._stage_in(chunk.data, total)
-        data_spec = (
-            Spec("time", None) if self.intype == "i16"
-            else Spec("time", None, None)
-        )
+        chain_ok = self._chain_eligible(total)
+        planar_in = chain_ok and self.intype == "f32"
+        staged = self._stage_in(chunk.data, total, planar=planar_in)
+        if planar_in:
+            data_spec = Spec(None, "time", None)   # (2, B, L) planes
+        elif self.intype == "i16":
+            data_spec = Spec("time", None)
+        else:
+            data_spec = Spec("time", None, None)
         data = jax.device_put(
             jnp.asarray(staged), NamedSharding(self.mesh, data_spec)
         )
@@ -548,7 +566,7 @@ class Pipeline:
             self._sample_offset += total
             return (out, total, False)
 
-        if self._chain_eligible(total):
+        if chain_ok:
             # --impl pallas: per-shard device program IS the fused chain
             # kernel (ppermute halo-block replay carries the FIR state) —
             # the sharded run keeps the unsharded per-chip rate AND its
@@ -557,7 +575,8 @@ class Pipeline:
 
             if self._sharded_chain_step is None:
                 self._sharded_chain_step = make_chain_stream_step(
-                    self.mesh, resampler=rs, interpret=self.pallas_interpret
+                    self.mesh, resampler=rs, interpret=self.pallas_interpret,
+                    intype=self.intype, outtype=self.outtype,
                 )
             self._ensure_chain_state()
             repl = NamedSharding(self.mesh, Spec())
@@ -566,7 +585,7 @@ class Pipeline:
             out, carries = self._sharded_chain_step(data, *plans, carry, taps)
             self._chain_carry = carries[-1]
             n_out = self._advance_chain_state(total, self._chain_carry)
-            return (out, n_out, False)
+            return (out, n_out, self.outtype == "f32")
 
         if getattr(rs, "bank", None) is not None and total == B * L:
             if self._sharded_rs_step is None:
@@ -595,19 +614,11 @@ class Pipeline:
             self._sample_offset += total
             return ("sharded_rs", out, out_counts)
 
-        # partial EOF chunk (or cascade): single-device, history-seeded
+        # partial EOF chunk (or cascade): run the unsharded dispatch — the
+        # exact program (incl. mixer-kernel choice) the meshless pipeline
+        # runs, seeded with the mesh-maintained history
         self._chain_carry = None   # next chain chunk reseeds from rs history
-        out = _chunk_kernel(
-            jnp.asarray(staged), *(jnp.asarray(a) for a in arrs),
-            intype=self.intype, outtype="f32",
-        )
-        self._sample_offset += total
-        flat = out.reshape(-1, 2)
-        yi, yq, n_out = rs.process(
-            flat[:, 0], flat[:, 1], total, M=rs.max_out_for(B * L)
-        )
-        enc = _encode_kernel(yi, yq, outtype=self.outtype)
-        return (enc, n_out, False)
+        return self._dispatch_local(chunk, arrs, total)
 
     def run(self, fin, fout, should_stop=None) -> Counters:
         """Pump ``fin`` → ``fout`` until EOF (short read), reference framing.

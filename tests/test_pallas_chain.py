@@ -168,3 +168,119 @@ def test_channel_batched_chain_matches_per_channel():
         assert d.max() <= 1, f"channel {c}: max i16 delta {d.max()}"
         assert np.mean(d > 0) < 0.01, f"channel {c}: {np.mean(d > 0):.4f} differ"
         np.testing.assert_array_equal(np.asarray(car_b)[c], np.asarray(car_s))
+
+
+def _f32_case(B, L, shifts, intype, outtype, inject_nan=False):
+    """Run the chain in a given wire-format combo; return (got, want) where
+    want is the XLA mix + resample oracle in the same format."""
+    import jax.numpy as jnp
+
+    from doppler_tpu.ops.pallas.chain import (
+        carry_rows,
+        mix_resample_chain_pallas_stream,
+    )
+
+    rs = RationalResampler(FS, 48000)
+    taps = make_chain_taps(rs.bank, rs.P, rs.Q)
+    plan = plan_blocks(shifts, [L] * B, FS, NCOState(), L)
+    arrs = (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t)
+
+    if intype == "i16":
+        words = RNG.integers(-(1 << 31), 1 << 31, size=(B, L),
+                             dtype=np.int64).astype(np.int32)
+        data = jnp.asarray(words)
+        i, q = codec.i16_words_to_iq(data)
+    else:
+        planes = (0.5 * RNG.standard_normal((2, B, L))).astype(np.float32)
+        if inject_nan:
+            planes[0, 0, 100] = np.nan
+        data = jnp.asarray(planes)
+        i, q = data[0], data[1]
+
+    carry0 = jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32)
+    out, _ = mix_resample_chain_pallas_stream(
+        data, *arrs, taps, carry0, P=rs.P, Q=rs.Q, T=rs.T,
+        interpret=True, intype=intype, outtype=outtype,
+    )
+
+    mi, mq = nco.mix_blocks(i, q, *arrs)
+    mixed = (np.asarray(mi) + 1j * np.asarray(mq)).reshape(-1)
+    want_c = resample_oracle(mixed, rs.P, rs.Q, rs.bank).astype(np.complex64)
+    return np.asarray(out), want_c
+
+
+def test_chain_f32_to_f32_matches_oracle():
+    got, want = _f32_case(3, 2048, [7000.0, -3000.0, 42.0], "f32", "f32")
+    g = got[0].reshape(-1) + 1j * got[1].reshape(-1)
+    assert g.shape == want.shape
+    err = np.abs(g - want)
+    scale = np.abs(want).max()
+    assert err.max() <= 2e-6 * max(scale, 1.0), err.max()
+
+
+def test_chain_f32_to_i16_encode_and_nan_rule():
+    got, want = _f32_case(3, 2048, [5000.0] * 3, "f32", "i16",
+                          inject_nan=True)
+    from doppler_tpu import oracle
+
+    raw = codec.i16_words_to_bytes(got.reshape(-1))
+    gi = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    # the NaN input pollutes a bounded neighborhood (matmul-row spread, like
+    # the XLA conv formulation); everything else must match the oracle ≤1 LSB
+    want_b = np.frombuffer(oracle.encode_i16_bytes(want), dtype="<i2").astype(np.int32)
+    nan_out = np.nonzero(np.isnan(want.real) | np.isnan(want.imag))[0]
+    mask = np.ones(want.size, bool)
+    # conservative pollution window: the full matmul-cycle span around the
+    # NaN sample's outputs
+    if nan_out.size:
+        lo = max(0, 2 * (nan_out.min() - 200))
+        hi = min(want.size, nan_out.max() + 200) * 2
+        mask[lo // 2:  (hi + 1) // 2] = False
+    mm = np.repeat(mask, 2)
+    assert np.isfinite(gi).all()
+    d = np.abs(gi[mm] - np.where(np.isfinite(want_b[mm]), want_b[mm], 0))
+    assert d.max() <= 1
+    # polluted outputs must still obey the NaN→0 encode rule (no garbage)
+    assert np.abs(gi).max() <= 32768
+
+
+def test_chain_i16_to_f32_matches_oracle():
+    got, want = _f32_case(3, 2048, [1234.0] * 3, "i16", "f32")
+    g = got[0].reshape(-1) + 1j * got[1].reshape(-1)
+    err = np.abs(g - want)
+    assert err.max() <= 2e-6 * max(np.abs(want).max(), 1.0)
+
+
+def test_chain_f32_streaming_carry_across_calls():
+    """f32 chain: two chained calls == one whole-stream call, bitwise."""
+    import jax.numpy as jnp
+
+    from doppler_tpu.ops.pallas.chain import (
+        carry_rows,
+        mix_resample_chain_pallas_stream,
+    )
+
+    rs = RationalResampler(FS, 48000)
+    taps = make_chain_taps(rs.bank, rs.P, rs.Q)
+    B, L = 4, 2048
+    planes = (0.5 * RNG.standard_normal((2, B, L))).astype(np.float32)
+    plan = plan_blocks([999.5] * B, [L] * B, FS, NCOState(), L)
+    arrs = (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t)
+    c0 = jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32)
+
+    whole, _ = mix_resample_chain_pallas_stream(
+        jnp.asarray(planes), *arrs, taps, c0, P=rs.P, Q=rs.Q, T=rs.T,
+        interpret=True, intype="f32", outtype="f32",
+    )
+    o1, c1 = mix_resample_chain_pallas_stream(
+        jnp.asarray(planes[:, :2]), *(a[:2] for a in arrs), taps, c0,
+        P=rs.P, Q=rs.Q, T=rs.T, interpret=True, intype="f32", outtype="f32",
+    )
+    o2, _ = mix_resample_chain_pallas_stream(
+        jnp.asarray(planes[:, 2:]), *(a[2:] for a in arrs), taps, c1,
+        P=rs.P, Q=rs.Q, T=rs.T, interpret=True, intype="f32", outtype="f32",
+    )
+    split = np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1)
+    np.testing.assert_array_equal(split, np.asarray(whole))

@@ -309,3 +309,48 @@ def test_cli_chunk_blocks_rejects_garbage():
     )
     assert p.returncode == 1
     assert b"chunk-blocks" in p.stderr
+
+
+def test_pipeline_f32_stays_fused_on_pallas():
+    """VERDICT r2 item 5a: f32 wire formats run the fused chain (not a
+    silent 4-8x-slower XLA fallback).  Verified structurally (the chain
+    carry exists after a full chunk) and numerically vs the XLA path."""
+    from doppler_tpu.ops.resample import attach_resampler
+
+    fs = 1024000
+    n = 2048 * 17 + 300
+    raw = (0.4 * RNG.standard_normal(2 * n)).astype("<f4").tobytes()
+
+    def run(impl, interpret=False):
+        pipe = Pipeline(fs, "f32", "f32", ConstScheduler(9000.0),
+                        chunk_blocks=8, impl=impl, pallas_interpret=interpret)
+        attach_resampler(pipe, 48000)
+        out = io.BytesIO()
+        pipe.run(io.BytesIO(raw), out)
+        return out.getvalue(), pipe
+
+    a, _ = run("xla")
+    b, pb = run("pallas", interpret=True)
+    # the ragged-tail fallback resets _chain_carry; _chain_taps persists
+    # and is only built when the chain path actually dispatched
+    assert pb._chain_taps is not None, "f32 pipeline did not use the chain"
+    assert len(a) == len(b)
+    xa = np.frombuffer(a, dtype="<f4")
+    xb = np.frombuffer(b, dtype="<f4")
+    err = np.abs(xa - xb)
+    assert err.max() <= 4e-6 * max(1.0, np.abs(xa).max())
+
+    # f32 -> i16 combo as well (encode + NaN rule active)
+    def run_i16(impl, interpret=False):
+        pipe = Pipeline(fs, "f32", "i16", ConstScheduler(9000.0),
+                        chunk_blocks=8, impl=impl, pallas_interpret=interpret)
+        attach_resampler(pipe, 48000)
+        out = io.BytesIO()
+        pipe.run(io.BytesIO(raw), out)
+        return out.getvalue()
+
+    c = run_i16("xla")
+    d = run_i16("pallas", interpret=True)
+    xc = np.frombuffer(c, dtype="<i2").astype(np.int32)
+    xd = np.frombuffer(d, dtype="<i2").astype(np.int32)
+    assert np.abs(xc - xd).max() <= 1

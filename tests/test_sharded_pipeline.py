@@ -300,3 +300,15 @@ def test_mesh_pallas_sharded_program_is_the_chain(devices_ok):
     ))
     assert jaxpr.count("pallas_call") >= 2
     assert "ppermute" in jaxpr
+
+
+def test_mesh_pallas_chain_f32_identical(devices_ok):
+    """f32 wire formats through the sharded fused chain: byte-identical to
+    the unsharded fused-chain run at any mesh width."""
+    raw = f32_stream(2048 * 16 * 2 + 555)
+    a = run_pipe(raw, None, intype="f32", outtype="f32", resample=48000.0,
+                 impl="pallas")
+    for n_time in (2, 8):
+        b = run_pipe(raw, make_mesh(time=n_time, channel=1), intype="f32",
+                     outtype="f32", resample=48000.0, impl="pallas")
+        assert a == b, f"f32 pallas mesh time={n_time} diverged"
