@@ -27,7 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from doppler_tpu.ops.sincos import sincos_q24_neg
 
-__all__ = ["mix_blocks_pallas", "mix_blocks_pallas_fmt"]
+__all__ = ["mix_blocks_pallas", "mix_blocks_pallas_fmt",
+           "mix_blocks_pallas_q15"]
 
 _MASK16 = np.uint32(0xFFFF)
 
@@ -217,6 +218,111 @@ def mix_blocks_pallas_fmt(data, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
     if outtype == "i16":
         return out.reshape(B, L)
     return out.reshape(2, B, L)
+
+
+def _make_q15_kernel(W: int):
+    """Integer-domain mixer kernel (VERDICT r2 #4 experiment).
+
+    Same phase plan and quarter-wave tone as the product kernel, but the
+    sample path never leaves the integer domain: raw i16 components are mixed
+    by a Q15-quantized tone with int32 MACs, truncated toward zero by an
+    integer shift, saturated, and repacked — eliminating the four i16↔f32
+    casts and four f32 scale/encode multiplies of the byte-exact kernel.
+
+    NOT byte-exact vs the oracle: the tone carries 15 instead of 24 mantissa
+    bits (≈90 dB SNR floor, far inside the reference's own f32 phase-noise
+    bound, SURVEY §3.4).  Exists to measure whether the decode/encode floor
+    is VPU-cast-bound or HBM/DMA-bound on real hardware (tools/roofline.py).
+    """
+
+    def kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r, t_r,
+               in_ref, out_ref):
+        b = pl.program_id(0)
+        S = in_ref.shape[-2]
+        j = (
+            jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 0) * jnp.uint32(128)
+            + jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 1)
+        )
+        for wi in range(W):
+            k = b * W + wi
+            w = in_ref[wi]
+            iw = jnp.left_shift(w, 16) >> 16          # int32, [-32768, 32767]
+            qw = w >> 16
+
+            d_hi = d_hi_r[k]
+            d_lo = d_lo_r[k]
+            jd_lo = j * d_lo
+            jd_hi = _umulhi32(j, d_lo) + j * d_hi
+
+            def with_offset(c_hi, c_lo, jd_lo=jd_lo, jd_hi=jd_hi):
+                lo = jd_lo + c_lo
+                carry = (lo < jd_lo).astype(jnp.uint32)
+                return jd_hi + c_hi + carry
+
+            q32_a = with_offset(c1_hi_r[k], c1_lo_r[k])
+            q32_b = with_offset(c2_hi_r[k], c2_lo_r[k])
+            q32 = jnp.where(j < t_r[k], q32_a, q32_b)
+            q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
+            c, s = _sincos_q24(q24)
+
+            # Q15 tone: round-half-away of ×32767 (scale 32767, not 32768,
+            # keeps |i·c − q·s| < 2³¹ — no int32 overflow at the extremes)
+            half = jnp.float32(0.5)
+
+            def q15(v):
+                return (v * jnp.float32(32767.0)
+                        + jnp.where(v >= 0, half, -half)).astype(jnp.int32)
+
+            c15 = q15(c)
+            s15 = q15(s)
+            re = iw * c15 - qw * s15
+            im = iw * s15 + qw * c15
+
+            # ÷2¹⁵ truncating toward zero (main.rs:77-78 semantics), saturate
+            def down(v):
+                v = (v + ((v >> 31) & jnp.int32(32767))) >> 15
+                return jnp.clip(v, jnp.int32(-32768), jnp.int32(32767))
+
+            out_ref[wi] = (
+                (down(re) & jnp.int32(0xFFFF)) | jnp.left_shift(down(im), 16)
+            )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "blocks_per_step"))
+def mix_blocks_pallas_q15(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
+                          *, interpret: bool = False,
+                          blocks_per_step: int | None = None):
+    """Integer-domain i16→i16 mixer (SNR-grade, not byte-exact; see kernel)."""
+    B, L = words.shape
+    if L % 128:
+        raise ValueError(f"block length {L} must be a multiple of 128")
+    W = blocks_per_step or _pick_blocks_per_step(B, L)
+    if B % W:
+        raise ValueError(f"blocks_per_step {W} must divide block count {B}")
+    S = L // 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(B // W,),
+        in_specs=[pl.BlockSpec((W, S, 128), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((W, S, 128), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _make_q15_kernel(W),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, 128), jnp.int32),
+        interpret=interpret,
+    )(
+        jnp.asarray(d_hi, jnp.uint32), jnp.asarray(d_lo, jnp.uint32),
+        jnp.asarray(c1_hi, jnp.uint32), jnp.asarray(c1_lo, jnp.uint32),
+        jnp.asarray(c2_hi, jnp.uint32), jnp.asarray(c2_lo, jnp.uint32),
+        jnp.asarray(t, jnp.uint32), words.reshape(B, S, 128),
+    )
+    return out.reshape(B, L)
 
 
 def mix_blocks_pallas(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,

@@ -31,7 +31,7 @@ tracks it mod 2^32.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from fractions import Fraction
 from typing import Sequence
 
@@ -39,7 +39,7 @@ import numpy as np
 
 from doppler_tpu.ops import fixedpoint as fxp
 
-__all__ = ["NCOState", "BlockPlan", "plan_blocks"]
+__all__ = ["NCOState", "BlockPlan", "plan_blocks", "plan_fields_uniform"]
 
 _M64 = (1 << 64) - 1
 
@@ -47,10 +47,18 @@ _M64 = (1 << 64) - 1
 @dataclass
 class NCOState:
     """The reference's entire mutable DSP state (SURVEY §5 checkpointing):
-    the samplenum counter plus the absolute stream offset."""
+    the samplenum counter plus the absolute stream offset.
+
+    ``hunt`` is a derived, non-checkpointed reset-hunt cache
+    ``(r32_key, lo, hi, first_reset_value_or_None)``: the smallest counter
+    value in ``[lo, hi)`` whose f32 product test fires, for the cached ratio.
+    Because the reset condition depends only on the counter *value*, the cache
+    survives resets, checkpoint restores recompute it, and steady-state chunks
+    plan with zero analytic hunts (VERDICT r2 #6)."""
 
     samplenum: int = 0
     abs_offset: int = 0
+    hunt: tuple | None = field(default=None, repr=False, compare=False)
 
 
 @dataclass
@@ -279,7 +287,7 @@ def _state_after_run_exact(m0: int, count: int, q: int) -> int:
     return rem % q + 1
 
 
-def plan_blocks(
+def _plan_blocks_sequential(
     shifts_hz: Sequence[float],
     counts: Sequence[int],
     samplerate: int,
@@ -290,17 +298,11 @@ def plan_blocks(
     reset_quirk: bool = True,
     fast_path: bool = True,
 ) -> BlockPlan:
-    """Compile per-block shifts + the running samplenum into kernel constants.
+    """Per-block reference planner — the fuzz oracle for :func:`plan_blocks`.
 
-    ``counts[k]`` is the true sample count of block k (≤ block_len; only the
-    final block may be short).  Advances ``state`` in place.
-
-    Host cost: O(1) per block in the exact-reset regime (resets land only on
-    true multiples of the ratio's dyadic period q, which are phase-preserving
-    — the plan uses the absolute-index phase with no segment switch and the
-    counter advances in closed form).  Only blocks where a *rounding* reset
-    could fire (|r·n| ≳ 2^22/q, or huge-q ratios) pay the O(count) f32 mask
-    scan that mirrors the reference bit-for-bit.
+    O(B) Python iterations with up to two analytic hunts per block; the
+    vectorized :func:`plan_blocks` must reproduce its rows and state evolution
+    exactly (tests/test_phase_plan_analytic.py fuzzes the pair).
     """
     rows: list = []
     period_cache: dict[float, int | None] = {}
@@ -355,3 +357,369 @@ def plan_blocks(
         state.samplenum = _state_after_run(r32, m0, count)
         state.abs_offset += count
     return BlockPlan.from_rows(rows)
+
+
+_U32 = 1 << 32
+
+_steady_period_cache: dict[float, int | None] = {}
+
+
+def _steady_period(r32: np.float32, block_len: int) -> int | None:
+    """Smallest firing counter value ≥ 1 (or None if none below 2³²+L).
+
+    After any reset the counter restarts at 1, so the trajectory is exactly
+    periodic: it climbs 1..r₁, fires at value r₁, restarts — one hunt makes
+    every subsequent reset position closed-form.  Keyed by the f32 ratio
+    (a pure counter-value property), shared across channels and chunks.
+    """
+    key = float(r32)
+    if key not in _steady_period_cache:
+        j = _first_reset_analytic(r32, 1, _U32 + block_len - 1)
+        _steady_period_cache[key] = None if j is None else 1 + j
+    return _steady_period_cache[key]
+
+
+def _cached_first_reset(r32: np.float32, m0: int, span: int,
+                        state: NCOState, block_len: int) -> int | None:
+    """First reset offset in ``[m0, m0+span)`` via the state's hunt cache.
+
+    The cache stores the smallest firing counter *value* over a long horizon
+    ``[lo, hi)`` for one ratio, so repeated chunks of the same stream re-plan
+    with an O(1) range check instead of an analytic hunt; a miss hunts once to
+    beyond the u32 wrap (the hunt cost is polylog in span) and refills it.
+    """
+    key = float(r32)
+    hi_goal = _U32 + block_len          # covers the last block's overshoot
+    # no-hunt shortcut: r₁ is the smallest firing value ≥ 1, so any counter
+    # on the post-reset trajectory (1 ≤ m0 ≤ r₁) meets its first firing at
+    # exactly r₁ — closed form, no analytic work (the steady state for every
+    # huge-q ratio; VERDICT r2 #6)
+    r1 = _steady_period(r32, block_len)
+    if r1 is not None and 1 <= m0 <= r1:
+        j = r1 - m0
+        return j if j < span else None
+    c = state.hunt
+    if c is not None and c[0] == key and c[1] <= m0 and m0 + span <= c[2]:
+        hit = c[3]
+        if hit is None or hit >= m0 + span:
+            return None
+        if hit >= m0:
+            return hit - m0
+        # cache's smallest hit is behind m0 — fall through and rehunt
+    j = _first_reset_analytic(r32, m0, hi_goal - m0)
+    state.hunt = (key, m0, hi_goal, None if j is None else m0 + j)
+    if j is None or j >= span:
+        return None
+    return j
+
+
+def plan_blocks(
+    shifts_hz: Sequence[float],
+    counts: Sequence[int],
+    samplerate: int,
+    state: NCOState,
+    block_len: int,
+    *,
+    quantize_f32: bool = True,
+    reset_quirk: bool = True,
+    fast_path: bool = True,
+) -> BlockPlan:
+    """Compile per-block shifts + the running samplenum into kernel constants.
+
+    ``counts[k]`` is the true sample count of block k (≤ block_len; only the
+    final block may be short).  Advances ``state`` in place.
+
+    Vectorized over *runs* of consecutive equal shifts (VERDICT r2 #6 — the
+    config-5 host planner must scale to C=256 × B=2048): per run the planner
+    emits whole reset-free stretches with NumPy u64 arithmetic and touches
+    Python-level math only at reset *events*, which the counter-value hunt
+    cache on ``state`` makes amortized-free across chunks.  Row-for-row and
+    state-for-state identical to :func:`_plan_blocks_sequential`:
+
+    - exact-periodic regime (small dyadic period q, counter ≤ 2²⁴, inside the
+      rounding-free bound): closed-form counters
+      ``m(c) = m0+c  (c ≤ j0)  |  ((c−j0−1) mod q)+1  (c > j0)`` over the
+      longest prefix where the regime condition holds per block;
+    - otherwise: one hunt per stretch instead of per block — the first reset
+      over the remaining run locates the single block that needs a segment
+      switch; everything before it is plain ``C = m_k·D``.
+
+    u32 counter wrap is honored at block boundaries exactly like the
+    sequential planner (stretches never start a block at an unwrapped
+    counter ≥ 2³²; in-block overshoot past 2³² stays unwrapped).
+    """
+    nblk = len(counts)
+    if nblk == 0:
+        return BlockPlan.zeros(0)
+    counts_a = np.asarray(counts, dtype=np.int64)
+    shifts_a = np.asarray(shifts_hz, dtype=np.float64)
+    total = int(counts_a.sum())
+
+    uniq, inv = np.unique(shifts_a, return_inverse=True)
+    d_u = [fxp.rate_to_q64(float(s), samplerate, quantize_f32=quantize_f32)
+           for s in uniq]
+    r_u = [_ratio_f32(float(s), samplerate) for s in uniq]
+
+    D = np.zeros(nblk, np.uint64)
+    C1 = np.zeros(nblk, np.uint64)
+    C2 = np.zeros(nblk, np.uint64)
+    T = np.full(nblk, block_len, np.uint32)
+
+    if not reset_quirk:
+        d_per = np.asarray(d_u, np.uint64)[inv]
+        offs = state.abs_offset + np.concatenate(
+            [[0], np.cumsum(counts_a)[:-1]])
+        D[:] = d_per
+        with np.errstate(over="ignore"):
+            C1[:] = offs.astype(np.uint64) * d_per
+        C2[:] = C1
+        state.abs_offset += total
+        state.samplenum = state.abs_offset
+        return _plan_from_u64(D, C1, C2, T)
+
+    # run boundaries: consecutive blocks sharing one shift value
+    change = np.flatnonzero(np.diff(inv)) + 1
+    bounds = np.concatenate([[0], change, [nblk]])
+    period_cache: dict[float, int | None] = {}
+
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        u = int(inv[b0])
+        d = d_u[u]
+        r32 = r_u[u]
+        key = float(r32)
+        if key not in period_cache:
+            period_cache[key] = _exact_period(r32)
+        q = period_cache[key]
+        d64 = np.uint64(d)
+        rc = counts_a[b0:b1]
+        cum = np.concatenate([[0], np.cumsum(rc)])
+        n = b1 - b0
+        k = 0
+        while k < n:
+            m0 = state.samplenum
+            starts = cum[k:n] - cum[k]
+            ends = cum[k + 1:n + 1] - cum[k]
+
+            if fast_path and q is not None and q <= (1 << 20):
+                j0 = (-m0) % q
+                m_k = np.where(starts <= j0, m0 + starts,
+                               (starts - j0 - 1) % q + 1)
+                n_hi = m_k + rc[k:]
+                ok = (n_hi <= (1 << 24)) & (
+                    abs(float(r32)) * n_hi < _exact_only_bound(r32, q))
+                v = int(np.argmin(ok)) if not ok.all() else n - k
+                if v == 0 and not bool(ok[0]):
+                    pass                     # first block out of regime
+                elif v > 0:
+                    sl = slice(b0 + k, b0 + k + v)
+                    with np.errstate(over="ignore"):
+                        c1v = m_k[:v].astype(np.uint64) * d64
+                    D[sl] = d64
+                    C1[sl] = c1v
+                    C2[sl] = c1v
+                    c_end = int(ends[v - 1])
+                    state.samplenum = (
+                        m0 + c_end if c_end <= j0
+                        else (c_end - j0 - 1) % q + 1
+                    )
+                    k += v
+                    continue
+
+            # event-driven stretch: all blocks whose (unwrapped) start
+            # counter stays below the u32 boundary
+            nb = int(np.searchsorted(starts, _U32 - m0, side="left"))
+            nb = max(1, min(nb, n - k))
+            span = int(ends[nb - 1])
+            j = _cached_first_reset(r32, m0, span, state, block_len)
+            if j is None:
+                sl = slice(b0 + k, b0 + k + nb)
+                with np.errstate(over="ignore"):
+                    c1v = (m0 + starts[:nb]).astype(np.uint64) * d64
+                D[sl] = d64
+                C1[sl] = c1v
+                C2[sl] = c1v
+                state.samplenum = (m0 + span) % _U32
+                k += nb
+            else:
+                kb = int(np.searchsorted(ends[:nb], j, side="right"))
+                if kb > 0:
+                    sl = slice(b0 + k, b0 + k + kb)
+                    with np.errstate(over="ignore"):
+                        c1v = (m0 + starts[:kb]).astype(np.uint64) * d64
+                    D[sl] = d64
+                    C1[sl] = c1v
+                    C2[sl] = c1v
+                m_kb = m0 + int(starts[kb])
+                jb = j - int(starts[kb])
+                i = b0 + k + kb
+                D[i] = d64
+                C1[i] = np.uint64((m_kb * d) % (1 << 64))
+                C2[i] = np.uint64((-jb * d) % (1 << 64))
+                T[i] = jb + 1
+                if q is None or q > max(1 << 20, block_len):
+                    # post-reset the trajectory is exactly periodic with
+                    # period r₁: when q is huge the sequential planner's
+                    # per-block fast path can't engage (q > 2²⁰) and
+                    # ``_state_after_run``'s exact-period fast-forward can't
+                    # trigger (q > any in-block remaining), so its state
+                    # evolution IS the pure trajectory — finish the whole
+                    # stretch closed-form: counters, reset blocks, and
+                    # segment switches all vectorize (config-5 rates fire
+                    # rounding resets every ~10⁵ samples; per-event Python
+                    # would be O(B) hunts per chunk)
+                    r1 = _steady_period(r32, block_len)
+                    p0 = j                     # stretch-local reset position
+                    s2 = starts[kb + 1:nb]
+                    e2 = ends[kb + 1:nb]
+                    if r1 is None:
+                        m_k2 = s2 - p0         # counter climbs unbounded
+                        with np.errstate(over="ignore"):
+                            c1v = m_k2.astype(np.uint64) * d64
+                        sl = slice(b0 + k + kb + 1, b0 + k + nb)
+                        D[sl] = d64
+                        C1[sl] = c1v
+                        C2[sl] = c1v
+                        state.samplenum = (span - p0) % _U32
+                    else:
+                        m_k2 = (s2 - p0 - 1) % r1 + 1
+                        j0_k = r1 - m_k2
+                        hit = j0_k < (e2 - s2)
+                        with np.errstate(over="ignore"):
+                            c1v = m_k2.astype(np.uint64) * d64
+                            c2v = np.where(
+                                hit,
+                                (np.uint64(0) - j0_k.astype(np.uint64)) * d64,
+                                c1v,
+                            )
+                        sl = slice(b0 + k + kb + 1, b0 + k + nb)
+                        D[sl] = d64
+                        C1[sl] = c1v
+                        C2[sl] = c2v
+                        T[sl] = np.where(hit, j0_k + 1,
+                                         block_len).astype(np.uint32)
+                        state.samplenum = (span - p0 - 1) % r1 + 1
+                    k += nb
+                else:
+                    state.samplenum = _state_after_run(
+                        r32, m_kb, int(rc[k + kb]))
+                    k += kb + 1
+
+    state.abs_offset += total
+    return _plan_from_u64(D, C1, C2, T)
+
+
+def plan_fields_uniform(
+    shifts_c: Sequence[float],
+    counts: Sequence[int],
+    samplerate: int,
+    states: Sequence[NCOState],
+    block_len: int,
+    *,
+    quantize_f32: bool = True,
+    reset_quirk: bool = True,
+) -> np.ndarray | None:
+    """Batched planner for C channels sharing one chunk's block structure.
+
+    ``shifts_c[c]`` is channel c's (constant within the chunk) shift;
+    returns the stacked ``(7, C, B)`` uint32 plan fields in
+    ``(d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t)`` order and advances every
+    state, or ``None`` (no state touched) when any channel falls outside the
+    closed-form regime — huge-q ratio on the post-reset trajectory
+    ``1 ≤ m0 ≤ r₁`` with no u32 wrap — in which case the caller runs
+    per-channel :func:`plan_blocks` (bit-identical either way; fuzzed in
+    tests/test_phase_plan_analytic.py).
+
+    This is the config-5 host path (C=256 × B=2048 at 100 Msps): one
+    vectorized pass over ``(C, B)`` instead of 256 Python planning loops —
+    the counter value at any stream position is closed-form
+    ``m(c) = m0+c (c ≤ p0) | ((c−p0−1) mod r₁)+1`` and the per-block first
+    reset is ``j0 = r₁ − m`` uniformly in both regimes (VERDICT r2 #6).
+    """
+    C = len(shifts_c)
+    B = len(counts)
+    counts_a = np.asarray(counts, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts_a)[:-1]])
+    total = int(counts_a.sum())
+
+    d_c = np.empty(C, np.uint64)
+    if not reset_quirk:
+        offs = np.empty(C, np.uint64)
+        for c, s in enumerate(shifts_c):
+            d_c[c] = fxp.rate_to_q64(float(s), samplerate,
+                                     quantize_f32=quantize_f32)
+            offs[c] = states[c].abs_offset % (1 << 64)
+        with np.errstate(over="ignore"):
+            M = offs[:, None] + starts[None, :].astype(np.uint64)
+            C1 = M * d_c[:, None]
+        fields = np.empty((7, C, B), np.uint32)
+        _split_into(fields, d_c[:, None], C1, C1)
+        fields[6] = np.uint32(block_len)
+        for c in range(C):
+            states[c].abs_offset += total
+            states[c].samplenum = states[c].abs_offset
+        return fields
+
+    r1_c = np.empty(C, np.int64)
+    m0_c = np.empty(C, np.int64)
+    for c, s in enumerate(shifts_c):
+        d = fxp.rate_to_q64(float(s), samplerate, quantize_f32=quantize_f32)
+        r32 = _ratio_f32(float(s), samplerate)
+        q = _exact_period(r32)
+        if q is not None and q <= max(1 << 20, block_len):
+            return None                  # small-q ratio: per-channel path
+        r1 = _steady_period(r32, block_len)
+        m0 = states[c].samplenum
+        if not (1 <= m0 <= (r1 if r1 is not None else _U32)):
+            return None                  # genesis / seeked state: fall back
+        if m0 + total >= _U32:
+            return None                  # u32 wrap inside the chunk
+        d_c[c] = d
+        r1_c[c] = r1 if r1 is not None else (1 << 62)
+        m0_c[c] = m0
+
+    # counter value at each block start, uniform over pre/post-reset regimes
+    p0 = (r1_c - m0_c)[:, None]          # position of the first reset
+    st = starts[None, :]
+    with np.errstate(over="ignore"):
+        M = np.where(st <= p0, m0_c[:, None] + st,
+                     (st - p0 - 1) % r1_c[:, None] + 1)
+        j0 = r1_c[:, None] - M           # distance to the next firing value
+        hit = j0 < counts_a[None, :]
+        Mu = M.astype(np.uint64)
+        du = d_c[:, None]
+        C1 = Mu * du
+        C2 = np.where(hit, (np.uint64(0) - j0.astype(np.uint64)) * du, C1)
+    fields = np.empty((7, C, B), np.uint32)
+    _split_into(fields, d_c[:, None], C1, C2)
+    fields[6] = np.uint32(block_len)
+    fields[6][hit] = (j0[hit] + 1).astype(np.uint32)
+
+    end = np.where(total <= p0[:, 0], m0_c + total,
+                   (total - p0[:, 0] - 1) % r1_c + 1)
+    for c in range(C):
+        states[c].samplenum = int(end[c])
+        states[c].abs_offset += total
+    return fields
+
+
+def _split_into(fields: np.ndarray, D, C1, C2) -> None:
+    """Write u64 (D, C1, C2) hi/lo splits into ``fields[0:6]`` in place."""
+    m = np.uint64(0xFFFFFFFF)
+    s32 = np.uint64(32)
+    fields[0] = D >> s32
+    fields[1] = D & m
+    fields[2] = C1 >> s32
+    fields[3] = C1 & m
+    fields[4] = C2 >> s32
+    fields[5] = C2 & m
+
+
+def _plan_from_u64(D, C1, C2, T) -> BlockPlan:
+    m = np.uint64(0xFFFFFFFF)
+    u32 = lambda a: a.astype(np.uint32)  # noqa: E731
+    return BlockPlan(
+        u32(D >> np.uint64(32)), u32(D & m),
+        u32(C1 >> np.uint64(32)), u32(C1 & m),
+        u32(C2 >> np.uint64(32)), u32(C2 & m),
+        T.copy(),
+    )

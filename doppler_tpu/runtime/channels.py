@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 
 from doppler_tpu.ops import codec, nco
-from doppler_tpu.ops.phase_plan import NCOState, plan_blocks
+from doppler_tpu.ops.phase_plan import (
+    NCOState,
+    plan_blocks,
+    plan_fields_uniform,
+)
 from doppler_tpu.ops.resample import RationalResampler
 from doppler_tpu.runtime import stream as streaming
 from doppler_tpu.runtime.pipeline import ConstScheduler, Scheduler
@@ -187,14 +191,39 @@ class MultiChannelPipeline:
     def _plan_all(self, counts):
         C = len(self.channels)
         B = self.chunk_blocks
+        n = len(counts)
+        # per-channel shifts for the chunk: f32(scheduler) + f32(center)
+        # exactly as the single-stream path composes them (main.rs:177)
+        shifts_all = [
+            (np.asarray(ch.scheduler.shifts(counts), dtype=np.float64)
+             .astype(np.float32) + np.float32(ch.center_offset_hz))
+            .astype(np.float64)
+            for ch in self.channels
+        ]
+
+        # uniform fast lane (config-5 scale): when every channel's shift is
+        # constant within the chunk — the common case once chunks are shorter
+        # than one staircase second — one (C, B) vectorized planning pass
+        # replaces C Python planners (bit-identical; VERDICT r2 #6)
+        if n and all(s.size and (s == s[0]).all() for s in shifts_all):
+            f = plan_fields_uniform(
+                [float(s[0]) for s in shifts_all], counts, self.samplerate,
+                [ch.state for ch in self.channels], self.block_samples,
+                quantize_f32=self.quantize_ratio_f32,
+                reset_quirk=self.reset_quirk,
+            )
+            if f is not None:
+                if n == B:
+                    return np.ascontiguousarray(f)
+                fields = np.zeros((7, C, B), dtype=np.uint32)
+                fields[:, :, :n] = f
+                return fields
+
         fields = np.zeros((7, C, B), dtype=np.uint32)
         for c, ch in enumerate(self.channels):
-            shifts = [
-                float(np.float32(s) + np.float32(ch.center_offset_hz))
-                for s in ch.scheduler.shifts(counts)
-            ]
             plan = plan_blocks(
-                shifts, counts, self.samplerate, ch.state, self.block_samples,
+                shifts_all[c], counts, self.samplerate, ch.state,
+                self.block_samples,
                 quantize_f32=self.quantize_ratio_f32,
                 reset_quirk=self.reset_quirk,
             )

@@ -164,3 +164,154 @@ def test_plan_blocks_large_samplenum_still_exact(shift, fs, m0):
         assert plan.t[k] == want_t, (k, m)
         m = _scan_state_after(r32, m, 2048)
     assert state.samplenum == m
+
+
+# ---------------------------------------------------------------------------
+# Vectorized planner (VERDICT r2 #6): run-based plan_blocks and the batched
+# plan_fields_uniform must be row-for-row, state-for-state twins of the
+# per-block sequential planner.
+
+from doppler_tpu.ops.phase_plan import (  # noqa: E402
+    _plan_blocks_sequential,
+    plan_fields_uniform,
+)
+
+_FIELDS = ("d_hi", "d_lo", "c1_hi", "c1_lo", "c2_hi", "c2_lo", "t")
+
+
+def _assert_plans_equal(p1, p2, tag):
+    for f in _FIELDS:
+        a, b = getattr(p1, f), getattr(p2, f)
+        assert np.array_equal(a, b), (tag, f, np.nonzero(a != b)[0][:5])
+
+
+def _compare_chunked(shifts, counts, fs, L, chunks=1, tag="", **kw):
+    s1, s2 = NCOState(), NCOState()
+    n = len(shifts) // chunks
+    for ci in range(chunks):
+        sh, co = shifts[ci * n:(ci + 1) * n], counts[ci * n:(ci + 1) * n]
+        p1 = plan_blocks(sh, co, fs, s1, L, **kw)
+        p2 = _plan_blocks_sequential(sh, co, fs, s2, L, **kw)
+        _assert_plans_equal(p1, p2, (tag, ci))
+        assert s1.samplenum == s2.samplenum, (tag, ci)
+        assert s1.abs_offset == s2.abs_offset, (tag, ci)
+
+
+def test_vectorized_config5_rounding_reset_regime():
+    """100 Msps ratios fire rounding resets every ~10^5 samples; the
+    closed-form periodic branch must reproduce them all."""
+    _compare_chunked([9000.0] * 256, [8192] * 256, 100_000_000, 8192,
+                     chunks=8, tag="cfg5")
+
+
+def test_vectorized_q31_dyadic_and_staircase():
+    _compare_chunked([12200.0] * 64, [8192] * 64, 100_000_000, 8192,
+                     chunks=8, tag="q31")
+    stair = [float(np.float32(9000.0 - 0.01 * (k // 12))) for k in range(128)]
+    _compare_chunked(stair, [8192] * 128, 100_000_000, 8192,
+                     chunks=4, tag="stair")
+
+
+def test_vectorized_u32_wrap_and_large_counter():
+    for m0 in ((1 << 32) - 3 * 8192 - 100, (1 << 31) + 12345):
+        s1, s2 = NCOState(samplenum=m0), NCOState(samplenum=m0)
+        for _ in range(3):
+            p1 = plan_blocks([1234.567] * 16, [8192] * 16, 1024000, s1, 8192)
+            p2 = _plan_blocks_sequential(
+                [1234.567] * 16, [8192] * 16, 1024000, s2, 8192)
+            _assert_plans_equal(p1, p2, m0)
+            assert s1.samplenum == s2.samplenum
+
+
+def test_vectorized_fuzz_vs_sequential():
+    rng = np.random.default_rng(0xF00)
+    for trial in range(30):
+        fs = int(rng.choice([256000, 1024000, 2400000, 100_000_000]))
+        L = int(rng.choice([1024, 2048, 8192]))
+        B = int(rng.integers(4, 40))
+        nruns = int(rng.integers(1, 6))
+        vals = rng.uniform(-fs / 2, fs / 2, size=nruns)
+        shifts = [float(vals[min(k * nruns // B, nruns - 1)])
+                  for k in range(B)]
+        counts = [L] * B
+        counts[-1] = int(rng.integers(0, L + 1))
+        if rng.random() < 0.3:
+            counts[-2] = 0
+        _compare_chunked(shifts, counts, fs, L,
+                         chunks=2 if B % 2 == 0 else 1, tag=f"fz{trial}")
+    # the SURVEY-erratum ratio and an integer-valued ratio
+    _compare_chunked([9660.609375] * 32, [2048] * 32, 256000, 2048,
+                     chunks=4, tag="erratum")
+    _compare_chunked([512000.0 * 4] * 8, [1024] * 8, 256000, 1024, tag="int")
+    _compare_chunked([5000.0] * 8, [1024] * 8, 256000, 1024,
+                     fast_path=False, tag="nofast")
+    _compare_chunked([5000.0] * 8, [1024] * 8, 256000, 1024,
+                     reset_quirk=False, tag="noquirk")
+
+
+def test_uniform_batch_matches_per_channel():
+    fs, L, C, B = 100_000_000, 8192, 24, 64
+    shifts = [float(np.float32(9000.0 + c * 100)) for c in range(C)]
+
+    def mk():
+        sts = []
+        for c in range(C):
+            s = NCOState()
+            plan_blocks([shifts[c]] * 4, [L] * 4, fs, s, L)  # past genesis
+            sts.append(s)
+        return sts
+
+    sa, sb = mk(), mk()
+    for chunk in range(4):
+        counts = [L] * B
+        if chunk == 2:
+            counts[-1] = 777
+        f = plan_fields_uniform(shifts, counts, fs, sa, L)
+        assert f is not None, f"chunk {chunk} unexpectedly fell back"
+        for c in range(C):
+            p = plan_blocks([shifts[c]] * len(counts), counts, fs, sb[c], L)
+            for fi, name in enumerate(_FIELDS):
+                assert np.array_equal(f[fi, c], getattr(p, name)), \
+                    (chunk, c, name)
+            assert sa[c].samplenum == sb[c].samplenum, (chunk, c)
+            assert sa[c].abs_offset == sb[c].abs_offset
+
+
+def test_uniform_batch_no_quirk_and_fallbacks():
+    fs, L = 100_000_000, 8192
+    shifts = [9000.0, -44100.0]
+    sa = [NCOState(samplenum=5, abs_offset=5),
+          NCOState(samplenum=9, abs_offset=9)]
+    sb = [NCOState(samplenum=5, abs_offset=5),
+          NCOState(samplenum=9, abs_offset=9)]
+    f = plan_fields_uniform(shifts, [L] * 8, fs, sa, L, reset_quirk=False)
+    for c in range(2):
+        p = plan_blocks([shifts[c]] * 8, [L] * 8, fs, sb[c], L,
+                        reset_quirk=False)
+        for fi, name in enumerate(_FIELDS):
+            assert np.array_equal(f[fi, c], getattr(p, name))
+    # genesis counter (m0=0 fires immediately) must fall back, states untouched
+    sts = [NCOState()]
+    assert plan_fields_uniform([9000.0], [L] * 4, fs, sts, L) is None
+    assert sts[0].samplenum == 0 and sts[0].abs_offset == 0
+    # small-q dyadic ratio must fall back to the per-channel planner
+    sts = [NCOState(samplenum=7)]
+    assert plan_fields_uniform([1000.0], [2048] * 4, 256000, sts, 2048) is None
+
+
+def test_planning_cost_config5_scale():
+    """Regression pin for the config-5 host planner: C=256 x B=2048 at
+    100 Msps must plan in well under a second per chunk (round 2: 18 s)."""
+    import time
+
+    fs, L, C, B = 100_000_000, 8192, 256, 2048
+    shifts = [float(np.float32(9000.0 + c * 100)) for c in range(C)]
+    states = [NCOState() for _ in range(C)]
+    for c in range(C):
+        plan_blocks([shifts[c]] * 2, [L] * 2, fs, states[c], L)
+    best = min(
+        (lambda t0: (plan_fields_uniform(shifts, [L] * B, fs, states, L),
+                     time.perf_counter() - t0)[1])(time.perf_counter())
+        for _ in range(3)
+    )
+    assert best < 1.0, f"planning took {best:.2f}s per chunk"

@@ -84,7 +84,7 @@ def test_schedule_chunk_split_invariance(predictor):
     s = make_scheduler(predictor)
     split = list(s.shifts(counts[:37])) + list(s.shifts(counts[37:200])) \
         + list(s.shifts(counts[200:]))
-    assert split == whole
+    assert split == list(whole)
 
 
 def test_track_pipeline_end_to_end(predictor):

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Measure the achievable HBM/elementwise ceiling on THIS chip vs the mixer.
+
+Answers the north-star question "is the mixer HBM-bandwidth-bound?" with
+measurements instead of datasheet rooflines: the tunneled v5e chip's
+*achievable* streaming bandwidth is what the mixer competes against, and the
+datasheet 819 GB/s may not be reachable by any kernel on this rig.
+
+Variants (all move the same 8 bytes/sample of HBM traffic, i16→i16 layout):
+
+  xla-xor   jit(x ^ 1)              — XLA elementwise floor (pure BW probe)
+  copy      Pallas out[...]=in[...] — Pallas DMA floor, no VPU work
+  codec     Pallas decode+encode    — adds the i16↔f32 casts (the claimed
+                                      "structural floor" of the round-2 docs)
+  mixer     full fused NCO mixer    — the product kernel
+  mixer-q15 integer-domain mixer    — i16 decode without casts, Q15 tone,
+                                      int32 MAC, integer saturate (SNR-grade,
+                                      not byte-exact; see ops/pallas/mixer.py)
+
+Methodology matches bench.py: K dispatches per timed iteration, one
+readback that depends on all of them, best-of-iters.  Run on the real TPU:
+
+    timeout 580 python tools/roofline.py --samples 33554432 --dispatches 64
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=1 << 25)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--dispatches", type=int, default=64)
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default")
+    ap.add_argument("--variants", default="xla-xor,copy,codec,mixer,mixer-q15")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from doppler_tpu.ops.pallas.mixer import (
+        mix_blocks_pallas,
+        mix_blocks_pallas_q15,
+        _pick_blocks_per_step,
+    )
+    from doppler_tpu.ops.phase_plan import NCOState, plan_blocks
+
+    interp = args.platform == "cpu"
+    dev = jax.devices()[0]
+    print(f"roofline device: {dev}", file=sys.stderr)
+
+    fs = 1024000
+    L = 8192
+    B = max(1, args.samples // L)
+    N = B * L
+    S = L // 128
+    rng = np.random.default_rng(0xBE)
+    words = rng.integers(
+        -(1 << 31), (1 << 31), size=(B, L), dtype=np.int64
+    ).astype(np.int32)
+    shifts = [9000.0 - 0.01 * k for k in range(B)]
+    plan = plan_blocks(shifts, [L] * B, fs, NCOState(), L)
+    plan_arrs = [
+        jax.device_put(jnp.asarray(a))
+        for a in (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+                  plan.c2_hi, plan.c2_lo, plan.t)
+    ]
+    data = jax.device_put(jnp.asarray(words))
+    W = _pick_blocks_per_step(B, L)
+
+    def pallas_elementwise(body):
+        """(B,S,128) int32 → int32 pipeline with W blocks per grid step."""
+
+        def kernel(in_ref, out_ref):
+            for wi in range(W):
+                out_ref[wi] = body(in_ref[wi])
+
+        @jax.jit
+        def run(x):
+            return pl.pallas_call(
+                kernel,
+                grid=(B // W,),
+                in_specs=[pl.BlockSpec((W, S, 128), lambda b: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((W, S, 128), lambda b: (b, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, S, 128), jnp.int32),
+                interpret=interp,
+            )(x.reshape(B, S, 128)).reshape(B, L)
+
+        return run
+
+    def codec_body(w):
+        # decode (dsp.rs:85-99) + encode (main.rs:76-84), identity mix
+        scale = jnp.float32(1.0 / 32768.0)
+        fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
+        fq = (w >> 16).astype(jnp.float32) * scale
+
+        def enc(v):
+            v = jnp.trunc(v * jnp.float32(32767.0))
+            v = jnp.clip(v, jnp.float32(-32768.0), jnp.float32(32767.0))
+            return v.astype(jnp.int32)
+
+        return (enc(fi) & jnp.int32(0xFFFF)) | jnp.left_shift(enc(fq), 16)
+
+    steps = {}
+    if "xla-xor" in args.variants:
+        steps["xla-xor"] = (jax.jit(lambda x, *p: x ^ 1), 8)
+    if "copy" in args.variants:
+        steps["copy"] = (
+            (lambda run: (lambda x, *p: run(x)))(
+                pallas_elementwise(lambda w: w)), 8)
+    if "codec" in args.variants:
+        steps["codec"] = (
+            (lambda run: (lambda x, *p: run(x)))(
+                pallas_elementwise(codec_body)), 8)
+    if "mixer" in args.variants:
+        steps["mixer"] = (
+            functools.partial(mix_blocks_pallas, interpret=interp), 8)
+    if "mixer-q15" in args.variants:
+        steps["mixer-q15"] = (
+            functools.partial(mix_blocks_pallas_q15, interpret=interp), 8)
+
+    K = max(1, args.dispatches)
+    results = {}
+    for name, (step, bytes_per_sample) in steps.items():
+        out = step(data, *plan_arrs)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            accs = []
+            for _k in range(K):
+                o = step(data, *plan_arrs)
+                accs.append(jnp.sum(o.reshape(-1)[:8].astype(jnp.float32)))
+            acc = accs[0]
+            for a in accs[1:]:
+                acc = acc + a
+            float(acc)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        rate = N * K / best
+        bw = rate * bytes_per_sample
+        results[name] = (rate, bw, best / K * 1e3)
+        print(
+            f"{name:10s} {best*1e3:8.2f} ms/{K} disp  "
+            f"{best/K*1e3:6.3f} ms/disp  {rate/1e9:7.2f} GS/s  "
+            f"{bw/1e9:7.1f} GB/s",
+            file=sys.stderr,
+        )
+
+    import json
+    print(json.dumps({
+        k: {"gsps": v[0] / 1e9, "gbps": v[1] / 1e9, "ms_per_dispatch": v[2]}
+        for k, v in results.items()
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
