@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from doppler_tpu.ops import fixedpoint as fxp
-from doppler_tpu.ops.sincos import sincos_q24_neg
+from doppler_tpu.ops.sincos import mix_tone, sincos_q24_neg
 
 __all__ = ["nco_corrector_blocks", "mix", "mix_blocks"]
 
@@ -75,7 +75,7 @@ def mix(i, q, d_hi, d_lo, c_hi=0, c_lo=0):
     L = jnp.uint32(i.shape[-1])
     c, s = nco_corrector_blocks(d_hi, d_lo, c_hi, c_lo, c_hi, c_lo,
                                 jnp.asarray(L), offsets)
-    return i * c - q * s, i * s + q * c
+    return mix_tone(i, q, c, s)
 
 
 def mix_blocks(i, q, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t):
@@ -96,4 +96,4 @@ def mix_blocks(i, q, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t):
         col(d_hi), col(d_lo), col(c1_hi), col(c1_lo),
         col(c2_hi), col(c2_lo), col(t), offsets,
     )
-    return i * c - q * s, i * s + q * c
+    return mix_tone(i, q, c, s)

@@ -50,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from doppler_tpu.ops.pallas.mixer import _sincos_q24, _umulhi32
+from doppler_tpu.ops.sincos import mix_tone
 
 __all__ = [
     "make_chain_taps",
@@ -173,8 +174,9 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1,
             )
             q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
             c, s = _sincos_q24(q24)
-            mis.append(fi * c - fq * s)         # (SL, 128)
-            mqs.append(fi * s + fq * c)
+            oi, oq = mix_tone(fi, fq, c, s)
+            mis.append(oi)                      # (SL, 128)
+            mqs.append(oq)
         mi = mis[0] if W == 1 else jnp.concatenate(mis, axis=0)   # (WSL, 128)
         mq = mqs[0] if W == 1 else jnp.concatenate(mqs, axis=0)
 

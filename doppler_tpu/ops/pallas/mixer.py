@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from doppler_tpu.ops.sincos import sincos_q24_neg
+from doppler_tpu.ops.sincos import mix_tone, sincos_q24_neg
 
 __all__ = ["mix_blocks_pallas", "mix_blocks_pallas_fmt",
            "mix_blocks_pallas_q15"]
@@ -111,8 +111,7 @@ def _make_mixer_kernel(W: int, intype: str = "i16", outtype: str = "i16"):
             q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
             c, s = _sincos_q24(q24)
 
-            oi = fi * c - fq * s
-            oq = fi * s + fq * c
+            oi, oq = mix_tone(fi, fq, c, s)
 
             if outtype == "i16":
                 # ---- encode: ×32767, truncate toward zero, saturate

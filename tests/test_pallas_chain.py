@@ -118,14 +118,17 @@ def test_channel_batched_chain_matches_per_channel():
     """The (C, B/W)-grid channel-batched kernel vs C independent streaming
     runs: carries must match bitwise; output words within 1 LSB per i16 half.
 
-    The two kernels are differently *shaped* XLA programs, and XLA's fusion
-    and FMA-contraction choices in the mix stage (quarter-wave sincos +
-    complex rotate) are made per program — the elementwise float results can
-    legitimately differ by 1 ulp between program shapes (measured: identical
-    math, identical inputs, 1-ulp mixed-plane deltas on CPU).  Bitwise
-    guarantees hold *within* a program: chunked/resumed runs of either
-    kernel reuse the same executable and are covered by the exact
-    checkpoint-resume tests above."""
+    Root cause of the 1-LSB boundary (round 3, VERDICT r2 #8): the backend
+    FMA-contracts one multiply of the mix's ``fi·c − fq·s``, and *which* one
+    is a per-program (even per-vectorizer-lane) codegen choice that survives
+    ``optimization_barrier`` — verified by dumping both kernels' mix inputs
+    (bitwise identical) and outputs (1-ulp deltas on ~25% of subtract-plane
+    samples).  ``test_channel_batched_divergence_is_fma_ambiguity`` below
+    proves every cross-kernel diff is one of the four possible contraction
+    results — any *real* bug (wrong phase, wrong carry, wrong taps) would
+    fall outside that set.  Bitwise guarantees hold *within* a program:
+    chunked/resumed runs of either kernel reuse the same executable and are
+    covered by the exact checkpoint-resume tests above."""
     from doppler_tpu.ops.pallas.chain import (
         carry_rows,
         mix_resample_chain_pallas_channels,
@@ -284,3 +287,142 @@ def test_chain_f32_streaming_carry_across_calls():
     )
     split = np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1)
     np.testing.assert_array_equal(split, np.asarray(whole))
+
+
+def test_channel_batched_divergence_is_fma_ambiguity():
+    """White-box pin of the cross-kernel 1-LSB boundary (VERDICT r2 #8).
+
+    Runs the chain's exact mix stage under both grid shapes (stream (B/W,)
+    vs channel-batched (C, B/W)), asserts the tone/decode inputs are bitwise
+    identical, and classifies every mixed-plane diff against the four
+    results an FMA contraction of ``fi·c − fq·s`` can produce.  A diff
+    outside that set means a real numerical bug, not codegen ambiguity.
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from doppler_tpu.ops.pallas.mixer import _sincos_q24, _umulhi32
+    from doppler_tpu.ops.sincos import mix_tone
+
+    C, B, L = 3, 4, 2048
+    SL, W = L // 128, 4
+    rng = np.random.default_rng(0)
+    words = rng.integers(-(1 << 31), 1 << 31, size=(B, L),
+                         dtype=np.int64).astype(np.int32)
+    fields = np.zeros((7, C, B), dtype=np.uint32)
+    for c in range(C):
+        plan = plan_blocks([1000.0 * (c + 1)] * B, [L] * B, FS, NCOState(), L)
+        for fi_, name in enumerate(("d_hi", "d_lo", "c1_hi", "c1_lo",
+                                    "c2_hi", "c2_lo", "t")):
+            fields[fi_, c] = getattr(plan, name)
+
+    def make_kernel(channels):
+        def kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r, t_r,
+                   words_ref, *outs):
+            b = pl.program_id(1) if channels else pl.program_id(0)
+            j = (jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 0)
+                 * jnp.uint32(128)
+                 + jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 1))
+            scale = jnp.float32(1.0 / 32768.0)
+            if channels:
+                ch = pl.program_id(0)
+                sidx = lambda r, k: r[ch, k]          # noqa: E731
+            else:
+                sidx = lambda r, k: r[k]              # noqa: E731
+            for wi in range(W):
+                k = b * W + wi
+                w = words_ref[wi]
+                fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
+                fq = (w >> 16).astype(jnp.float32) * scale
+                d_hi = sidx(d_hi_r, k)
+                d_lo = sidx(d_lo_r, k)
+                jd_lo = j * d_lo
+                jd_hi = _umulhi32(j, d_lo) + j * d_hi
+
+                def with_offset(c_hi, c_lo, jd_lo=jd_lo, jd_hi=jd_hi):
+                    lo = jd_lo + c_lo
+                    carry = (lo < jd_lo).astype(jnp.uint32)
+                    return jd_hi + c_hi + carry
+
+                q32 = jnp.where(
+                    j < sidx(t_r, k),
+                    with_offset(sidx(c1_hi_r, k), sidx(c1_lo_r, k)),
+                    with_offset(sidx(c2_hi_r, k), sidx(c2_lo_r, k)))
+                q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
+                c_, s_ = _sincos_q24(q24)
+                oi, oq = mix_tone(fi, fq, c_, s_)
+                for oref, v in zip(outs, (oi, oq, c_, s_, fi, fq)):
+                    if channels:
+                        oref[0, wi] = v
+                    else:
+                        oref[wi] = v
+        return kernel
+
+    f = jnp.asarray(fields, jnp.uint32)
+    data = jnp.asarray(words).reshape(B, SL, 128)
+    NOUT = 6
+    gs_s = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7, grid=(B // W,),
+        in_specs=[pl.BlockSpec((W, SL, 128), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((W, SL, 128), lambda b, *_: (b, 0, 0),
+                                memory_space=pltpu.VMEM),) * NOUT)
+    gs_c = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7, grid=(C, B // W),
+        in_specs=[pl.BlockSpec((W, SL, 128), lambda c, b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, W, SL, 128),
+                                lambda c, b, *_: (c, b, 0, 0),
+                                memory_space=pltpu.VMEM),) * NOUT)
+    shp = (jax.ShapeDtypeStruct((B, SL, 128), jnp.float32),) * NOUT
+    shp_c = (jax.ShapeDtypeStruct((C, B, SL, 128), jnp.float32),) * NOUT
+    out_c = pl.pallas_call(make_kernel(True), grid_spec=gs_c,
+                           out_shape=shp_c, interpret=True)(
+        f[0], f[1], f[2], f[3], f[4], f[5], f[6], data)
+
+    ndiff = 0
+    for c in range(C):
+        out_s = pl.pallas_call(make_kernel(False), grid_spec=gs_s,
+                               out_shape=shp, interpret=True)(
+            f[0, c], f[1, c], f[2, c], f[3, c], f[4, c], f[5, c], f[6, c],
+            data)
+        # inputs to the rotation must be bitwise identical across shapes
+        for p, name in ((2, "cos"), (3, "sin"), (4, "fi"), (5, "fq")):
+            np.testing.assert_array_equal(
+                np.asarray(out_s[p]), np.asarray(out_c[p])[c], err_msg=name)
+        for p in (0, 1):                     # mixed planes may differ 1 ulp
+            a = np.asarray(out_s[p]).astype(np.float64)
+            b = np.asarray(out_c[p])[c].astype(np.float64)
+            idx = np.nonzero(a != b)
+            ndiff += len(idx[0])
+            fi = np.asarray(out_s[4]).astype(np.float64)
+            fq = np.asarray(out_s[5]).astype(np.float64)
+            cc = np.asarray(out_s[2]).astype(np.float64)
+            ss = np.asarray(out_s[3]).astype(np.float64)
+            for i in range(len(idx[0])):
+                i0 = tuple(x[i] for x in idx)
+                x1, x2 = (fi[i0], cc[i0])
+                y1, y2 = (fq[i0], ss[i0]) if p == 0 else (fq[i0], cc[i0])
+                if p == 1:
+                    x1, x2 = fi[i0], ss[i0]
+                sgn = -1.0 if p == 0 else 1.0
+                px = np.float64(np.float32(x1 * x2))
+                py = np.float64(np.float32(y1 * y2))
+                cands = {
+                    np.float32(px + sgn * py),          # both rounded
+                    np.float32(x1 * x2 + sgn * py),     # fma on first mul
+                    np.float32(px + sgn * (y1 * y2)),   # fma on second mul
+                    np.float32(x1 * x2 + sgn * (y1 * y2)),  # fully fused
+                }
+                assert np.float32(a[i0]) in cands and \
+                    np.float32(b[i0]) in cands, \
+                    (c, p, i0, a[i0], b[i0], cands)
+    # the boundary exists (this machine contracts differently per shape) or
+    # collapses to zero (a backend with uniform choices) — both are fine;
+    # what is forbidden is any diff that is NOT contraction ambiguity (the
+    # in-loop assertion above).  1-ulp f32 deltas are common (~10-25% of
+    # samples); the resulting i16 byte-level rate is pinned <1% by
+    # test_channel_batched_chain_matches_per_channel.
+    assert ndiff <= 3 * C * 2 * words.size // 10, \
+        f"cross-shape diffs beyond plausible contraction noise: {ndiff}"

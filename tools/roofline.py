@@ -87,25 +87,39 @@ def main() -> int:
     data = jax.device_put(jnp.asarray(words))
     W = _pick_blocks_per_step(B, L)
 
-    def pallas_elementwise(body):
-        """(B,S,128) int32 → int32 pipeline with W blocks per grid step."""
+    def pallas_elementwise(body, W=W, flat=False):
+        """(B,S,128) int32 → int32 pipeline with W blocks per grid step.
 
-        def kernel(in_ref, out_ref):
-            for wi in range(W):
-                out_ref[wi] = body(in_ref[wi])
+        ``flat=True`` collapses the W block rows into one (W·S, 128) tile per
+        grid step (single whole-buffer load/store instead of W sub-slices).
+        """
+
+        if flat:
+            def kernel(in_ref, out_ref):
+                out_ref[...] = body(in_ref[...])
+
+            ispec = pl.BlockSpec((W * S, 128), lambda b: (b, 0),
+                                 memory_space=pltpu.VMEM)
+            oshape = (B * S, 128)
+        else:
+            def kernel(in_ref, out_ref):
+                for wi in range(W):
+                    out_ref[wi] = body(in_ref[wi])
+
+            ispec = pl.BlockSpec((W, S, 128), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            oshape = (B, S, 128)
 
         @jax.jit
         def run(x):
             return pl.pallas_call(
                 kernel,
                 grid=(B // W,),
-                in_specs=[pl.BlockSpec((W, S, 128), lambda b: (b, 0, 0),
-                                       memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec((W, S, 128), lambda b: (b, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((B, S, 128), jnp.int32),
+                in_specs=[ispec],
+                out_specs=ispec,
+                out_shape=jax.ShapeDtypeStruct(oshape, jnp.int32),
                 interpret=interp,
-            )(x.reshape(B, S, 128)).reshape(B, L)
+            )(x.reshape(oshape)).reshape(B, L)
 
         return run
 
@@ -129,6 +143,20 @@ def main() -> int:
         steps["copy"] = (
             (lambda run: (lambda x, *p: run(x)))(
                 pallas_elementwise(lambda w: w)), 8)
+    for wv in (8, 16, 32, 64, 128):
+        if f"copy-w{wv}" in args.variants and B % wv == 0:
+            steps[f"copy-w{wv}"] = (
+                (lambda run: (lambda x, *p: run(x)))(
+                    pallas_elementwise(lambda w: w, W=wv)), 8)
+        if f"copyflat-w{wv}" in args.variants and B % wv == 0:
+            steps[f"copyflat-w{wv}"] = (
+                (lambda run: (lambda x, *p: run(x)))(
+                    pallas_elementwise(lambda w: w, W=wv, flat=True)), 8)
+    for wv in (32, 64):
+        if f"mixer-w{wv}" in args.variants and B % wv == 0:
+            steps[f"mixer-w{wv}"] = (
+                functools.partial(mix_blocks_pallas, interpret=interp,
+                                  blocks_per_step=wv), 8)
     if "codec" in args.variants:
         steps["codec"] = (
             (lambda run: (lambda x, *p: run(x)))(
