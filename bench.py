@@ -26,8 +26,8 @@ def main() -> int:
     ap.add_argument("--platform", choices=["default", "cpu"], default="default")
     ap.add_argument(
         "--mode",
-        choices=["chain", "chain-pallas", "chain-mesh", "mix", "mix-pallas",
-                 "channels", "channels-pallas"],
+        choices=["chain", "chain-pallas", "chain-mesh", "cascade-pallas",
+                 "mix", "mix-pallas", "channels", "channels-pallas"],
         default="chain-pallas",
         help="default chain-pallas: the BASELINE primary metric (NCO mix + "
              "polyphase resample per chip, config-3 shape) on the fused "
@@ -152,6 +152,40 @@ def main() -> int:
             )
 
         metric = "mix_resample_chain_pallas_i16_samples_per_s_chip"
+    elif args.mode == "cascade-pallas":
+        # fully fused multi-stage cascade (halfbands + final rational) —
+        # the arbitrary-heavy-decimation answer: intermediates never leave
+        # VMEM, traffic = 4 + 4·P/Q B/sample like the single-stage chain
+        from doppler_tpu.ops.multistage import MultiStageResampler
+        from doppler_tpu.ops.pallas.chain import (
+            carry_rows,
+            make_chain_taps,
+            mix_cascade_pallas_stream,
+        )
+
+        ms = MultiStageResampler(fs, 48000)
+        nst = len(ms.stages)
+        stages_cfg = tuple((st.P, st.Q, st.T) for st in ms.stages)
+        casc_taps = tuple(
+            jax.device_put(jnp.asarray(make_chain_taps(
+                st.bank, st.P, st.Q,
+                pp=(st.P if i < nst - 1 else None))))
+            for i, st in enumerate(ms.stages)
+        )
+        casc_carries = tuple(
+            jax.device_put(jnp.zeros((2, carry_rows(st.T), 128), jnp.float32))
+            for st in ms.stages
+        )
+        print("cascade stages: "
+              + " -> ".join(f"{st.P}/{st.Q}(T={st.T})" for st in ms.stages),
+              file=sys.stderr)
+
+        def step(data, *plan):
+            out, _ = mix_cascade_pallas_stream(
+                data, *plan, casc_taps, casc_carries, stages=stages_cfg)
+            return out
+
+        metric = "mix_cascade_pallas_i16_samples_per_s_chip"
     elif args.mode == "chain-mesh":
         # Scaling harness (BASELINE "Scaling efficiency" row): the sharded
         # product step — fused Pallas chain per time shard, ppermute

@@ -122,10 +122,12 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
                    help="polyphase-resample output to RATE sps after mixing "
                         "(non-integer rates are rationalized to <1e-9 rel. error)")
     p.add_argument("--resample-stages", choices=["single", "auto", "multi"],
-                   default="single",
-                   help="resampler structure: single-stage polyphase "
-                        "(default), or a halfband-cascade msresamp-style "
-                        "multi-stage design (auto: used when decimating ≥4x)")
+                   default="auto",
+                   help="resampler structure: 'auto' (default) uses the "
+                        "halfband-cascade msresamp-style multi-stage design "
+                        "when decimating ≥4x (fused end-to-end on TPU) and "
+                        "single-stage polyphase otherwise; 'single'/'multi' "
+                        "force one structure")
     p.add_argument("--resample-impl", choices=["auto", "conv", "window"],
                    default="auto",
                    help="resampler device formulation: banded windows-matmul "

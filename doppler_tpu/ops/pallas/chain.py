@@ -57,6 +57,9 @@ __all__ = [
     "mix_resample_chain_pallas",
     "mix_resample_chain_pallas_stream",
     "mix_resample_chain_pallas_channels",
+    "mix_cascade_pallas_stream",
+    "cascade_dims",
+    "pick_cascade_blocks_per_step",
     "chain_channel",
     "carry_rows",
 ]
@@ -71,12 +74,19 @@ def carry_rows(T: int) -> int:
     return _round_up(max(T - 1, 1), 128) // 128
 
 
-def make_chain_taps(bank: np.ndarray, P: int, Q: int) -> np.ndarray:
+def make_chain_taps(bank: np.ndarray, P: int, Q: int,
+                    pp: int | None = None) -> np.ndarray:
     """Host: per-subgroup zero-shifted taps matrices, stacked.
 
-    Returns ``(n_sub, R128·128, P)`` float32 where subgroup s's window—
+    Returns ``(n_sub, R128·128, pp)`` float32 where subgroup s's window—
     starting ``HB − (T−1) + s·Q`` samples into its base row—reads
     ``taps[j − shift_s]`` at buffer offset j.
+
+    ``pp`` is the stored phase width per subgroup.  Default ``max(8, P)``
+    (tiny-N matmuls crash the Mosaic lowering) with an XLA epilogue dropping
+    the pad phases; cascade inner stages pass ``pp=P`` so the D-merged
+    matmul output IS the dense 128-lane stream-row layout of the next stage
+    (the total column count D·n_sub·P = 128 keeps the matmul N full-width).
     """
     if 128 % Q:
         raise ValueError(f"pallas chain needs 128 % Q == 0 (Q={Q})")
@@ -90,8 +100,8 @@ def make_chain_taps(bank: np.ndarray, P: int, Q: int) -> np.ndarray:
     n_sub = 128 // Q
     max_len = lead0 + (n_sub - 1) * Q + w_len
     rows128 = _round_up(max_len, 128)
-    # pad the phase dim to ≥8 lanes (tiny-N matmuls crash the Mosaic lowering)
-    pp = max(8, P)
+    if pp is None:
+        pp = max(8, P)
     out = np.zeros((n_sub, rows128, pp), dtype=np.float32)
     for s in range(n_sub):
         shift = lead0 + s * Q
@@ -564,3 +574,299 @@ def chain_channel(words, fields, c, chain_taps, carry_in, *, P: int, Q: int,
         chain_taps, carry_in,
         P=P, Q=Q, T=T, interpret=interpret, blocks_per_step=blocks_per_step,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fully fused multi-stage cascade (VERDICT r2 #5c/#7): decode → mix →
+# halfband ÷2 stages → final rational stage → encode, ONE kernel, ONE HBM
+# round trip.  Inner stages store taps with pp = P (no pad phases), so with
+# D = Q/P output groups merged per LHS row the matmul result (G, D·n_sub·P)
+# = (G, 128) IS the next stage's dense stream-row layout — intermediates
+# never leave VMEM and never need a lane shuffle.  The final stage uses the
+# padded-phase layout + XLA epilogue exactly like the single-stage chain.
+# This is what makes ARBITRARY heavy decimations (100 Msps → 48 ksps) run at
+# fused-chain speed: halfbands (Q=2) are always lane-aligned, and the sharp
+# final filter runs at the lowest rate where even an XLA tail would be
+# cheap.
+
+
+def cascade_dims(L: int, W: int, stage_shapes) -> list[dict]:
+    """Static per-stage geometry for one grid step of W input blocks.
+
+    ``stage_shapes``: per stage ``(P, Q, T, n_sub, taps_rows, PP)`` —
+    from each stage's :func:`make_chain_taps` output (+ its resampler).
+    Raises ValueError when the cascade cannot be fused at this (L, W).
+    """
+    A = W * (L // 128)
+    dims = []
+    nstg = len(stage_shapes)
+    for idx, (P, Q, T, n_sub, taps_rows, PP) in enumerate(stage_shapes):
+        last = idx == nstg - 1
+        HBR = carry_rows(T)
+        R = taps_rows // 128
+        CC = n_sub * PP
+        if last:
+            D = _pick_group_cols(A, CC)
+        else:
+            if PP != P or Q % P:
+                raise ValueError("inner cascade stage needs pp=P and P | Q")
+            D = Q // P
+            if D * CC != 128:
+                raise ValueError(
+                    f"inner stage (P={P}, Q={Q}) does not tile 128 lanes")
+        if A % D or A < 1:
+            raise ValueError(f"stage {idx}: {A} rows not divisible by D={D}")
+        if A < HBR:
+            raise ValueError(
+                f"stage {idx}: step spans {A} rows < carry {HBR}")
+        G = A // D
+        SRC = HBR + A
+        PAD = max(0, (A - 1 + R) - SRC + 1)
+        if (SRC + PAD) % D:
+            PAD += D - (SRC + PAD) % D
+        dims.append(dict(P=P, Q=Q, T=T, n_sub=n_sub, PP=PP, HBR=HBR, R=R,
+                         CC=CC, D=D, A=A, G=G, PAD=PAD, NSLICE=R + D - 1,
+                         last=last))
+        A = G if not last else A
+    return dims
+
+
+def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16"):
+    SL = L // 128
+    nstg = len(dims)
+
+    def kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r, t_r,
+               words_ref, *rest):
+        taps_refs = rest[:nstg]
+        carry_in_refs = rest[nstg:2 * nstg]
+        out_ref = rest[2 * nstg]
+        carry_out_refs = rest[2 * nstg + 1:3 * nstg + 1]
+        scratch_refs = rest[3 * nstg + 1:]
+        b = pl.program_id(0)
+
+        j = (
+            jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 0) * jnp.uint32(128)
+            + jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 1)
+        )
+        scale = jnp.float32(1.0 / 32768.0)
+        mis, mqs = [], []
+        for wi in range(W):
+            k = b * W + wi
+            if intype == "i16":
+                w = words_ref[wi]
+                fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
+                fq = (w >> 16).astype(jnp.float32) * scale
+            else:
+                fi = words_ref[0, wi]
+                fq = words_ref[1, wi]
+            d_hi = d_hi_r[k]
+            d_lo = d_lo_r[k]
+            jd_lo = j * d_lo
+            jd_hi = _umulhi32(j, d_lo) + j * d_hi
+
+            def with_offset(c_hi, c_lo, jd_lo=jd_lo, jd_hi=jd_hi):
+                lo = jd_lo + c_lo
+                carry = (lo < jd_lo).astype(jnp.uint32)
+                return jd_hi + c_hi + carry
+
+            q32 = jnp.where(
+                j < t_r[k],
+                with_offset(c1_hi_r[k], c1_lo_r[k]),
+                with_offset(c2_hi_r[k], c2_lo_r[k]),
+            )
+            q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
+            c, s = _sincos_q24(q24)
+            oi, oq = mix_tone(fi, fq, c, s)
+            mis.append(oi)
+            mqs.append(oq)
+        rows_i = mis[0] if W == 1 else jnp.concatenate(mis, axis=0)
+        rows_q = mqs[0] if W == 1 else jnp.concatenate(mqs, axis=0)
+
+        acc = None
+        for si, st in enumerate(dims):
+            HBR, R, D, G, A, PAD = (st["HBR"], st["R"], st["D"], st["G"],
+                                    st["A"], st["PAD"])
+
+            @pl.when(b == 0)
+            def _(si=si):
+                scratch_refs[si][...] = carry_in_refs[si][...]
+
+            full_i = jnp.concatenate([scratch_refs[si][0], rows_i], axis=0)
+            full_q = jnp.concatenate([scratch_refs[si][1], rows_q], axis=0)
+            if PAD:
+                z = jnp.zeros((PAD, 128), jnp.float32)
+                full_i = jnp.concatenate([full_i, z], axis=0)
+                full_q = jnp.concatenate([full_q, z], axis=0)
+            # carry = last HBR rows of this stage's input (overlap-save)
+            scratch_refs[si][0] = rows_i[A - HBR:]
+            scratch_refs[si][1] = rows_q[A - HBR:]
+            carry_out_refs[si][0] = rows_i[A - HBR:]
+            carry_out_refs[si][1] = rows_q[A - HBR:]
+
+            if D == 1:
+                r3i = full_i[:, None, :]
+                r3q = full_q[:, None, :]
+            else:
+                r3i = full_i.reshape(-1, D, 128)
+                r3q = full_q.reshape(-1, D, 128)
+            acc = jnp.zeros((2 * G, D * st["CC"]), jnp.float32)
+            for rp in range(st["NSLICE"]):
+                q_, d_ = divmod(rp, D)
+                x_r = jnp.concatenate(
+                    [r3i[q_:q_ + G, d_, :], r3q[q_:q_ + G, d_, :]], axis=0)
+                acc = acc + jnp.dot(
+                    x_r, taps_refs[si][128 * rp:128 * (rp + 1), :],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            if not st["last"]:
+                rows_i = acc[:G]          # dense (G, 128) stream rows
+                rows_q = acc[G:]
+
+        G = dims[-1]["G"]
+        if outtype == "f32":
+            out_ref[0, 0] = acc[:G]
+            out_ref[1, 0] = acc[G:]
+            return
+
+        def enc(v):
+            w = jnp.trunc(v * jnp.float32(32767.0))
+            w = jnp.clip(w, jnp.float32(-32768.0), jnp.float32(32767.0))
+            if intype != "i16":
+                w = jnp.where(jnp.isnan(v), jnp.float32(0.0), w)
+            return w.astype(jnp.int32)
+
+        out_ref[0] = (
+            (enc(acc[:G]) & jnp.int32(0xFFFF))
+            | jnp.left_shift(enc(acc[G:]), 16)
+        )
+
+    return kernel
+
+
+def pick_cascade_blocks_per_step(B: int, L: int, stage_shapes) -> int | None:
+    """W dividing B whose geometry validates, sized for VMEM residency.
+
+    The kernel keeps the mixed rows, per-stage full buffers, and
+    accumulators live simultaneously, so A₀ = W·L/128 is capped at 1024
+    rows (~1 MB/plane — measured: 4096 rows blows the 16 MB scoped-vmem
+    limit on v5e); within that, prefer the largest valid W (bigger DMA
+    transfers, fuller final-stage matmuls)."""
+    cap = max(1, (1024 * 128) // L)
+    w = min(B, cap)
+    while w >= 1:
+        if B % w == 0:
+            try:
+                cascade_dims(L, w, stage_shapes)
+                return w
+            except ValueError:
+                pass
+        w -= 1
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stages", "interpret", "blocks_per_step",
+                              "intype", "outtype")
+)
+def mix_cascade_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo,
+                              t, taps, carries, *, stages, interpret=False,
+                              blocks_per_step=None, intype="i16",
+                              outtype="i16"):
+    """Streaming fused mix + multi-stage resample cascade.
+
+    ``stages``: static tuple of per-stage ``(P, Q, T)``; ``taps``: matching
+    tuple of :func:`make_chain_taps` arrays (inner stages built with
+    ``pp=P``); ``carries``: tuple of ``(2, carry_rows(T_s), 128)`` f32 per
+    stage.  Input/output wire formats as in
+    :func:`mix_resample_chain_pallas_stream`.  Returns
+    ``(out, carries_out)`` with per-stage carries for chunk chaining.
+    """
+    if intype == "i16":
+        B, L = words.shape
+    else:
+        _, B, L = words.shape
+    stage_shapes = tuple(
+        (P, Q, T, taps[i].shape[0], taps[i].shape[1], taps[i].shape[2])
+        for i, (P, Q, T) in enumerate(stages)
+    )
+    W = blocks_per_step or pick_cascade_blocks_per_step(B, L, stage_shapes)
+    if W is None or B % W:
+        raise ValueError(f"no valid blocks_per_step for cascade (B={B})")
+    dims = cascade_dims(L, W, stage_shapes)
+    nstg = len(dims)
+    SL = L // 128
+    last = dims[-1]
+    G, DCC = last["G"], last["D"] * last["CC"]
+
+    if intype == "i16":
+        data_spec = pl.BlockSpec((W, SL, 128), lambda b, *_: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        data = words.reshape(B, SL, 128)
+    else:
+        data_spec = pl.BlockSpec((2, W, SL, 128), lambda b, *_: (0, b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        data = words.reshape(2, B, SL, 128)
+    if outtype == "i16":
+        out_spec = pl.BlockSpec((1, G, DCC), lambda b, *_: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B // W, G, DCC), jnp.int32)
+    else:
+        out_spec = pl.BlockSpec((2, 1, G, DCC), lambda b, *_: (0, b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((2, B // W, G, DCC), jnp.float32)
+
+    taps_wide = []
+    taps_specs = []
+    for i, st in enumerate(dims):
+        tm = jnp.transpose(jnp.asarray(taps[i]), (1, 0, 2)).reshape(
+            st["R"] * 128, st["CC"])
+        tw = wide_chain_taps(tm, st["D"])
+        taps_wide.append(tw)
+        taps_specs.append(
+            pl.BlockSpec(tw.shape, lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM))
+    carry_specs = [
+        pl.BlockSpec((2, st["HBR"], 128), lambda b, *_: (0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for st in dims
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(B // W,),
+        in_specs=[data_spec] + taps_specs + carry_specs,
+        out_specs=tuple([out_spec] + carry_specs),
+        scratch_shapes=[pltpu.VMEM((2, st["HBR"], 128), jnp.float32)
+                        for st in dims],
+    )
+    outs = pl.pallas_call(
+        _make_cascade_kernel(L, W, dims, intype, outtype),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            [out_shape]
+            + [jax.ShapeDtypeStruct((2, st["HBR"], 128), jnp.float32)
+               for st in dims]
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(d_hi, jnp.uint32), jnp.asarray(d_lo, jnp.uint32),
+        jnp.asarray(c1_hi, jnp.uint32), jnp.asarray(c1_lo, jnp.uint32),
+        jnp.asarray(c2_hi, jnp.uint32), jnp.asarray(c2_lo, jnp.uint32),
+        jnp.asarray(t, jnp.uint32), data, *taps_wide,
+        *[jnp.asarray(c, jnp.float32) for c in carries],
+    )
+    out = outs[0]
+    carries_out = tuple(outs[1:])
+    A_f, n_sub, PP, P = last["A"], last["n_sub"], last["PP"], last["P"]
+    M_step = A_f * n_sub * P                  # outputs per grid step
+    if M_step % W:
+        raise ValueError("cascade output does not tile the block structure")
+    M = M_step // W                           # = L·P_tot/Q_tot per block
+    if outtype == "i16":
+        out = out.reshape(B // W, A_f, n_sub, PP)[..., :P].reshape(B, M)
+    else:
+        out = out.reshape(2, B // W, A_f, n_sub, PP)[..., :P].reshape(2, B, M)
+    return out, carries_out

@@ -163,6 +163,9 @@ class Pipeline:
     def set_resampler(self, resampler) -> None:
         """Insert a post-mix resampler stage (see ops.resample)."""
         self.resampler = resampler
+        self._cascade_w = "unset"          # re-derive cascade geometry
+        self._cascade_taps = None
+        self._cascade_carries = None
         if self.mesh is None:
             return
         if getattr(resampler, "bank", None) is None:
@@ -202,6 +205,95 @@ class Pipeline:
             # only the EOF chunk is partial, so this costs nothing
             and total == self.chunk_blocks * L
         )
+
+    def _cascade_eligible(self, total: int) -> bool:
+        """May this chunk run the fully fused Pallas cascade kernel?
+
+        Requires a :class:`~doppler_tpu.ops.multistage.MultiStageResampler`
+        whose stages all tile the 128-lane row (halfbands Q=2 always do;
+        the final rational stage needs ``128 % Q == 0``) and a valid step
+        geometry — checked once and cached.  A final stage with
+        ``128 % Q != 0`` (e.g. 100 Msps → 48 ksps ends in Q=3125) falls back
+        to the XLA cascade for the whole stream today; the heavy decimation
+        still belongs in the fused halfbands — splitting the cascade between
+        kernels is future work.
+        """
+        rs = self.resampler
+        if (rs is None or self.impl != "pallas"
+                or getattr(rs, "stages", None) is None):
+            return False
+        L = self.block_samples
+        if getattr(self, "_cascade_w", "unset") == "unset":
+            from doppler_tpu.ops.pallas.chain import (
+                make_chain_taps,
+                pick_cascade_blocks_per_step,
+            )
+
+            self._cascade_w = None
+            if L % 128 == 0 and all(128 % st.Q == 0 for st in rs.stages):
+                try:
+                    shapes = []
+                    n = len(rs.stages)
+                    for i, st in enumerate(rs.stages):
+                        pp = st.P if i < n - 1 else max(8, st.P)
+                        tp = make_chain_taps(
+                            st.bank, st.P, st.Q,
+                            pp=(st.P if i < n - 1 else None))
+                        shapes.append(
+                            (st.P, st.Q, st.T, tp.shape[0], tp.shape[1], pp))
+                    self._cascade_w = pick_cascade_blocks_per_step(
+                        self.chunk_blocks, L, tuple(shapes))
+                except ValueError:
+                    self._cascade_w = None
+        return (
+            self._cascade_w is not None
+            and total == self.chunk_blocks * L
+        )
+
+    def _ensure_cascade_state(self) -> None:
+        """Seed per-stage chain carries/taps (idempotent; reseeds after a
+        fallback chunk from each stage's mirrored FIR history)."""
+        from doppler_tpu.ops.pallas.chain import carry_rows, make_chain_taps
+
+        rs = self.resampler
+        n = len(rs.stages)
+        if getattr(self, "_cascade_taps", None) is None:
+            self._cascade_taps = tuple(
+                jnp.asarray(make_chain_taps(
+                    st.bank, st.P, st.Q,
+                    pp=(st.P if i < n - 1 else None)))
+                for i, st in enumerate(rs.stages)
+            )
+            self._cascade_stages = tuple(
+                (st.P, st.Q, st.T) for st in rs.stages)
+        if getattr(self, "_cascade_carries", None) is None:
+            carries = []
+            for st in rs.stages:
+                hbr = carry_rows(st.T)
+                flat = np.zeros((2, hbr * 128), dtype=np.float32)
+                h = st.T - 1
+                if h > 0:
+                    flat[0, hbr * 128 - h:] = np.asarray(st._hist_i)
+                    flat[1, hbr * 128 - h:] = np.asarray(st._hist_q)
+                carries.append(jnp.asarray(flat.reshape(2, hbr, 128)))
+            self._cascade_carries = tuple(carries)
+
+    def _advance_cascade_state(self, total: int, carries) -> int:
+        """Mirror per-stage resampler bookkeeping out of the device carries
+        (device-lazy) and advance the stream counters.  Returns n_out."""
+        rs = self.resampler
+        n_in = total
+        for st, carry in zip(rs.stages, carries):
+            n_out = st.out_count_for(n_in)
+            st.m_next += n_out
+            st.in_consumed += n_in
+            flat = carry.reshape(2, -1)
+            h = st.T - 1
+            st._hist_i = flat[0, flat.shape[1] - h:]
+            st._hist_q = flat[1, flat.shape[1] - h:]
+            n_in = n_out
+        self._sample_offset += total
+        return n_in
 
     def _ensure_chain_state(self) -> None:
         """Seed the chain carry/taps (idempotent; reseeds after fallback)."""
@@ -275,11 +367,8 @@ class Pipeline:
         if rs is None:
             return
         if getattr(rs, "bank", None) is None:
-            raise ValueError(
-                "multi-host seek supports single-stage resamplers only "
-                "(a cascade's inner-stage history is not seekable from raw "
-                "input; use --resample-stages single)"
-            )
+            self._seek_cascade(n_blocks, history, last_plan)
+            return
         s_lo = n_blocks * L
         rs.in_consumed = s_lo
         rs.m_next = -(-s_lo * rs.P // rs.Q)
@@ -361,6 +450,128 @@ class Pipeline:
             mi, mq = flat_out[:, 0], flat_out[:, 1]
         rs._hist_i = mi[L - h:]
         rs._hist_q = mq[L - h:]
+
+    def _seek_cascade(self, n_blocks: int, history: bytes | None,
+                      last_plan) -> None:
+        """Cascade arm of :meth:`seek_to_block` (round 3): reconstruct every
+        stage's FIR history from ONE raw history block.
+
+        The replay starts each stage with zero history, so its first
+        ``rs.T − 1`` input-referred samples are corrupted — but each stage's
+        carry depends only on the block's tail (carry cone =
+        ``carry_rows·128`` samples at the stage rate, input-referred ≤
+        ``HBR_s·128·ratio_s + rs.T − 1``), so one block suffices whenever
+        the cone and the corrupt head don't overlap (checked).  The replay
+        runs the same program the stream will run — the fused cascade kernel
+        when eligible (carries bitwise by W-invariance), else the XLA
+        cascade's own ``process`` (bitwise by its chunk-width stability) —
+        so a seeked host emits exactly the single-process bytes
+        (tests/test_distributed.py).
+        """
+        rs = self.resampler
+        L = self.block_samples
+        s_lo = n_blocks * L
+        n_in = s_lo
+        counters = []
+        for st in rs.stages:
+            n_out = -(-n_in * st.P // st.Q)
+            counters.append((n_in, n_out))
+            n_in = n_out
+        if rs.T <= 1 or n_blocks == 0:
+            for st, (c_in, c_out) in zip(rs.stages, counters):
+                st.in_consumed = c_in
+                st.m_next = c_out
+            return
+        if history is None or len(history) != self.block_bytes:
+            raise ValueError(
+                "seek with a resampler needs the raw bytes of the "
+                "preceding full block as history"
+            )
+        from doppler_tpu.ops.pallas.chain import carry_rows as _cr
+
+        cone = max(
+            _cr(st.T) * 128 * (self.samplerate // st.in_rate)
+            for st in rs.stages
+        )
+        if L < (rs.T - 1) + cone + (rs.T - 1):
+            raise ValueError(
+                f"block ({L} samples) too short to reconstruct the "
+                f"cascade's history (needs ≥ {2 * (rs.T - 1) + cone})"
+            )
+        pa = [
+            np.asarray(getattr(last_plan, f))[-1:]
+            for f in ("d_hi", "d_lo", "c1_hi", "c1_lo", "c2_hi", "c2_lo", "t")
+        ]
+        total_1 = self.chunk_blocks * L
+        if self._cascade_eligible(total_1):
+            from doppler_tpu.ops.pallas.chain import (
+                mix_cascade_pallas_stream,
+            )
+
+            self._ensure_cascade_state()
+            if self.intype == "i16":
+                flat = np.zeros(L, dtype="<i4")
+                flat[:] = codec.bytes_to_i16_words(history)
+                staged = flat.reshape(1, L)
+            else:
+                pairs = codec.bytes_to_f32_pairs(history)
+                flat = np.zeros((2, L), dtype="<f4")
+                native.f32_pairs_to_planar_into(pairs, flat[0], flat[1])
+                staged = flat.reshape(2, 1, L)
+            zeros = tuple(
+                jnp.zeros_like(c) for c in self._cascade_carries
+            )
+            _, carries = mix_cascade_pallas_stream(
+                jnp.asarray(staged), *(jnp.asarray(a) for a in pa),
+                self._cascade_taps, zeros, stages=self._cascade_stages,
+                blocks_per_step=1, interpret=self.pallas_interpret,
+                intype=self.intype, outtype=self.outtype,
+            )
+            self._cascade_carries = carries
+            for st, carry, (c_in, c_out) in zip(rs.stages, carries, counters):
+                flat_c = carry.reshape(2, -1)
+                h = st.T - 1
+                st._hist_i = flat_c[0, flat_c.shape[1] - h:]
+                st._hist_q = flat_c[1, flat_c.shape[1] - h:]
+                st.in_consumed = c_in
+                st.m_next = c_out
+            return
+        # XLA cascade: mix the history block with the stream's mixer, then
+        # run it through the (fresh) cascade — its chunk-width-stable
+        # ``process`` leaves each stage holding exactly the stream's history
+        use_pallas_mix = self.impl == "pallas" and L % 128 == 0
+        if self.intype == "i16":
+            flat = np.zeros(L, dtype="<i4")
+            flat[:] = codec.bytes_to_i16_words(history)
+            staged = flat.reshape(1, L)
+        elif use_pallas_mix:
+            pairs = codec.bytes_to_f32_pairs(history)
+            flat = np.zeros((2, L), dtype="<f4")
+            native.f32_pairs_to_planar_into(pairs, flat[0], flat[1])
+            staged = flat.reshape(2, 1, L)
+        else:
+            staged = codec.bytes_to_f32_pairs(history).reshape(1, L, 2)
+        if use_pallas_mix:
+            from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas_fmt
+
+            out = mix_blocks_pallas_fmt(
+                jnp.asarray(staged), *(jnp.asarray(a) for a in pa),
+                intype=self.intype, outtype="f32",
+                interpret=self.pallas_interpret,
+            )
+            planes = out.reshape(2, -1)
+            mi, mq = planes[0], planes[1]
+        else:
+            out = _chunk_kernel(
+                jnp.asarray(staged), *(jnp.asarray(a) for a in pa),
+                intype=self.intype, outtype="f32",
+            )
+            flat_out = out.reshape(-1, 2)
+            mi, mq = flat_out[:, 0], flat_out[:, 1]
+        rs.process(mi, mq, L)
+        for st, (c_in, c_out) in zip(rs.stages, counters):
+            st.in_consumed = c_in
+            st.m_next = c_out
 
     # -- staging ------------------------------------------------------------
 
@@ -485,6 +696,21 @@ class Pipeline:
             n_out = self._advance_chain_state(total, self._chain_carry)
             return (out, n_out, self.outtype == "f32")
 
+        if self._cascade_eligible(total):
+            from doppler_tpu.ops.pallas.chain import mix_cascade_pallas_stream
+
+            self._ensure_cascade_state()
+            out, self._cascade_carries = mix_cascade_pallas_stream(
+                jnp.asarray(staged), *(jnp.asarray(a) for a in arrs),
+                self._cascade_taps, self._cascade_carries,
+                stages=self._cascade_stages,
+                blocks_per_step=self._cascade_w,
+                interpret=self.pallas_interpret,
+                intype=self.intype, outtype=self.outtype,
+            )
+            n_out = self._advance_cascade_state(total, self._cascade_carries)
+            return (out, n_out, self.outtype == "f32")
+
         mix_planar = False
         if use_pallas_mix:
             from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas_fmt
@@ -516,8 +742,9 @@ class Pipeline:
             mi, mq, total,
             M=self.resampler.max_out_for(B * self.block_samples),
         )
-        # any future pallas-chain chunk must reseed its carry from rs history
+        # any future pallas-chain/cascade chunk must reseed from rs history
         self._chain_carry = None
+        self._cascade_carries = None
         enc = _encode_kernel(yi, yq, outtype=self.outtype)
         return (enc, n_out, False)
 

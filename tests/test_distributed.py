@@ -127,7 +127,7 @@ def test_seek_to_block_mix_only():
     assert po.getvalue() + so.getvalue() == fo.getvalue()
 
 
-def test_seek_rejects_mid_stream_and_cascade():
+def test_seek_rejects_mid_stream_and_missing_history():
     p = _mk_pipe("xla")
     with pytest.raises(ValueError, match="history"):
         p.seek_to_block(16)             # resampler but no history bytes
@@ -135,10 +135,40 @@ def test_seek_rejects_mid_stream_and_cascade():
     p2._sample_offset = 5
     with pytest.raises(ValueError, match="fresh"):
         p2.seek_to_block(16)
-    p3 = Pipeline(FS, "i16", "i16", ConstScheduler(0.0), chunk_blocks=16)
-    attach_resampler(p3, 48000.0, stages="multi")
-    with pytest.raises(ValueError, match="single-stage"):
-        p3.seek_to_block(16, history=b"\0" * BB)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_seek_cascade_resumes_bitwise(impl):
+    """Round 3: distribute = seek works for the multi-stage cascade too —
+    one raw history block reconstructs every stage's FIR state, on both the
+    XLA cascade and the fused Pallas cascade path."""
+    blocks = 48
+    raw = i16_stream(2048 * blocks)
+
+    def mk():
+        p = Pipeline(FS, "i16", "i16", ConstScheduler(9000.0),
+                     chunk_blocks=16, impl=impl,
+                     pallas_interpret=impl == "pallas")
+        attach_resampler(p, 48000.0, stages="multi")
+        return p
+
+    whole = io.BytesIO()
+    mk().run(io.BytesIO(raw), whole)
+    whole = whole.getvalue()
+
+    k = 16                               # chunk-aligned split
+    # output byte offset of the seeked host: chain per-stage ceil counts
+    n_in = k * 2048
+    for st in mk().resampler.stages:
+        n_in = -(-n_in * st.P // st.Q)
+    m_lo = n_in
+    p2 = mk()
+    p2.seek_to_block(k, history=raw[(k - 1) * BB:k * BB])
+    out2 = io.BytesIO()
+    p2.run(io.BytesIO(raw[k * BB:]), out2)
+    got = out2.getvalue()
+    want = whole[m_lo * 4:]
+    assert got == want and len(got) > 0
 
 
 # ---------------------------------------------------------------------------
