@@ -147,6 +147,7 @@ class Pipeline:
         self._sharded_mix_step = None
         self._sharded_rs_step = None
         self._sharded_chain_step = None
+        self._sharded_cascade_step = None
         if mesh is not None:
             if mesh.shape.get("channel", 1) != 1:
                 raise ValueError(
@@ -166,13 +167,17 @@ class Pipeline:
         self._cascade_w = "unset"          # re-derive cascade geometry
         self._cascade_taps = None
         self._cascade_carries = None
+        self._cascade_mesh_ok_c = None
+        self._sharded_cascade_step = None
         if self.mesh is None:
             return
         if getattr(resampler, "bank", None) is None:
-            log.warning(
-                "mesh mode: multi-stage resampler has no sharded step yet — "
-                "resampling runs on the default device"
-            )
+            if not self._cascade_mesh_ok():
+                log.warning(
+                    "mesh mode: this cascade cannot run the sharded fused "
+                    "step (geometry/impl) — resampling runs on the default "
+                    "device"
+                )
             return
         n_loc = (
             self.chunk_blocks * self.block_samples // self.mesh.shape["time"]
@@ -249,6 +254,60 @@ class Pipeline:
             self._cascade_w is not None
             and total == self.chunk_blocks * L
         )
+
+    def _cascade_mesh_ok(self) -> bool:
+        """May ``--mesh`` chunks run the sharded fused cascade step?
+
+        Per-shard geometry must validate at B/n_time blocks, and one block
+        must cover every stage's carry cone past the zero-history corrupt
+        head (the halo-replay bound shared with :meth:`_seek_cascade`).
+        """
+        rs = self.resampler
+        if (self.mesh is None or rs is None or self.impl != "pallas"
+                or getattr(rs, "stages", None) is None):
+            return False
+        if getattr(self, "_cascade_mesh_ok_c", None) is None:
+            from doppler_tpu.ops.pallas.chain import (
+                carry_rows as _cr,
+                make_chain_taps,
+                pick_cascade_blocks_per_step,
+            )
+
+            ok = False
+            L = self.block_samples
+            n_time = self.mesh.shape["time"]
+            if (L % 128 == 0 and self.chunk_blocks % n_time == 0
+                    and all(128 % st.Q == 0 for st in rs.stages)):
+                try:
+                    n = len(rs.stages)
+                    shapes = []
+                    for i, st in enumerate(rs.stages):
+                        pp = st.P if i < n - 1 else max(8, st.P)
+                        tp = make_chain_taps(
+                            st.bank, st.P, st.Q,
+                            pp=(st.P if i < n - 1 else None))
+                        shapes.append(
+                            (st.P, st.Q, st.T, tp.shape[0], tp.shape[1], pp))
+                    cone = max(
+                        _cr(st.T) * 128 * (self.samplerate // st.in_rate)
+                        for st in rs.stages
+                    )
+                    need = 2 * (rs.T - 1) + cone
+                    b_loc = self.chunk_blocks // n_time
+                    r_h = -(-need // L)
+                    ok = (
+                        pick_cascade_blocks_per_step(b_loc, L, tuple(shapes))
+                        is not None
+                        # each shard donates r_h replay blocks and the
+                        # replay itself must have a valid step geometry
+                        and r_h <= b_loc
+                        and pick_cascade_blocks_per_step(
+                            r_h, L, tuple(shapes)) is not None
+                    )
+                except ValueError:
+                    ok = False
+            self._cascade_mesh_ok_c = ok
+        return self._cascade_mesh_ok_c
 
     def _ensure_cascade_state(self) -> None:
         """Seed per-stage chain carries/taps (idempotent; reseeds after a
@@ -770,7 +829,9 @@ class Pipeline:
         rs = self.resampler
         n_time = self.mesh.shape["time"]
         chain_ok = self._chain_eligible(total)
-        planar_in = chain_ok and self.intype == "f32"
+        cascade_ok = (self._cascade_mesh_ok()
+                      and total == self.chunk_blocks * self.block_samples)
+        planar_in = (chain_ok or cascade_ok) and self.intype == "f32"
         staged = self._stage_in(chunk.data, total, planar=planar_in)
         if planar_in:
             data_spec = Spec(None, "time", None)   # (2, B, L) planes
@@ -812,6 +873,27 @@ class Pipeline:
             out, carries = self._sharded_chain_step(data, *plans, carry, taps)
             self._chain_carry = carries[-1]
             n_out = self._advance_chain_state(total, self._chain_carry)
+            return (out, n_out, self.outtype == "f32")
+
+        if cascade_ok:
+            # sharded fused cascade: per-stage halo-block replay (round 3)
+            from doppler_tpu.parallel.sharded import make_cascade_stream_step
+
+            self._ensure_cascade_state()
+            if self._sharded_cascade_step is None:
+                self._sharded_cascade_step = make_cascade_stream_step(
+                    self.mesh, resampler=rs, taps=self._cascade_taps,
+                    stages=self._cascade_stages,
+                    interpret=self.pallas_interpret,
+                    intype=self.intype, outtype=self.outtype,
+                )
+            repl = NamedSharding(self.mesh, Spec())
+            carries = [jax.device_put(jnp.asarray(c), repl)
+                       for c in self._cascade_carries]
+            out, *carries_nt = self._sharded_cascade_step(
+                data, *plans, *carries)
+            self._cascade_carries = tuple(c[-1] for c in carries_nt)
+            n_out = self._advance_cascade_state(total, self._cascade_carries)
             return (out, n_out, self.outtype == "f32")
 
         if getattr(rs, "bank", None) is not None and total == B * L:

