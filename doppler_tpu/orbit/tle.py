@@ -19,6 +19,9 @@ _TWO_PI = 2.0 * math.pi
 _MIN_PER_DAY = 1440.0
 
 
+_file_cache: dict = {}   # (abspath, mtime_ns, size) → (lines, candidates)
+
+
 class TleError(ValueError):
     pass
 
@@ -128,17 +131,31 @@ class Tle:
         """Find ``name`` in a celestrak-style TLE file (main.rs:141 contract).
 
         Matches the trimmed name line exactly, falling back to prefix match.
+        The parsed file is cached by (path, mtime, size) — channels configs
+        commonly point hundreds of channels at one celestrak file.
         """
-        with open(path, "r", encoding="utf-8", errors="replace") as f:
-            lines = [ln.rstrip("\n\r") for ln in f]
+        import os
+
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        cached = _file_cache.get(key)
+        if cached is None:
+            with open(path, "r", encoding="utf-8", errors="replace") as f:
+                lines = [ln.rstrip("\n\r") for ln in f]
+            candidates = []
+            for idx in range(len(lines) - 2):
+                ln = lines[idx].strip()
+                if not ln or ln.startswith(("1 ", "2 ")):
+                    continue
+                if (lines[idx + 1].startswith("1 ")
+                        and lines[idx + 2].startswith("2 ")):
+                    candidates.append((ln, idx))
+            if len(_file_cache) > 16:
+                _file_cache.clear()
+            _file_cache[key] = (lines, candidates)
+        else:
+            lines, candidates = cached
         want = name.strip()
-        candidates = []
-        for idx in range(len(lines) - 2):
-            ln = lines[idx].strip()
-            if not ln or ln.startswith(("1 ", "2 ")):
-                continue
-            if lines[idx + 1].startswith("1 ") and lines[idx + 2].startswith("2 "):
-                candidates.append((ln, idx))
         for ln, idx in candidates:
             if ln == want:
                 return cls.from_lines(ln, lines[idx + 1], lines[idx + 2])
