@@ -423,6 +423,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                     _resolve_impl(args.impl)),
                 mesh=mesh,
                 drain_on_eof=args.drain,
+                resample_stages=args.resample_stages,
             )
         except ValueError as e:
             log.error("%s", e)

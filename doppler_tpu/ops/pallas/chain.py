@@ -631,7 +631,8 @@ def cascade_dims(L: int, W: int, stage_shapes) -> list[dict]:
     return dims
 
 
-def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16"):
+def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16",
+                         channels=False):
     SL = L // 128
     nstg = len(dims)
 
@@ -642,7 +643,12 @@ def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16"):
         out_ref = rest[2 * nstg]
         carry_out_refs = rest[2 * nstg + 1:3 * nstg + 1]
         scratch_refs = rest[3 * nstg + 1:]
-        b = pl.program_id(0)
+        b = pl.program_id(1) if channels else pl.program_id(0)
+        if channels:
+            ch = pl.program_id(0)
+            sidx = lambda r, k: r[ch, k]        # noqa: E731  (C, B) plans
+        else:
+            sidx = lambda r, k: r[k]            # noqa: E731  (B,) plans
 
         j = (
             jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 0) * jnp.uint32(128)
@@ -659,8 +665,8 @@ def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16"):
             else:
                 fi = words_ref[0, wi]
                 fq = words_ref[1, wi]
-            d_hi = d_hi_r[k]
-            d_lo = d_lo_r[k]
+            d_hi = sidx(d_hi_r, k)
+            d_lo = sidx(d_lo_r, k)
             jd_lo = j * d_lo
             jd_hi = _umulhi32(j, d_lo) + j * d_hi
 
@@ -670,9 +676,9 @@ def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16"):
                 return jd_hi + c_hi + carry
 
             q32 = jnp.where(
-                j < t_r[k],
-                with_offset(c1_hi_r[k], c1_lo_r[k]),
-                with_offset(c2_hi_r[k], c2_lo_r[k]),
+                j < sidx(t_r, k),
+                with_offset(sidx(c1_hi_r, k), sidx(c1_lo_r, k)),
+                with_offset(sidx(c2_hi_r, k), sidx(c2_lo_r, k)),
             )
             q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
             c, s = _sincos_q24(q24)
@@ -689,7 +695,10 @@ def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16"):
 
             @pl.when(b == 0)
             def _(si=si):
-                scratch_refs[si][...] = carry_in_refs[si][...]
+                scratch_refs[si][...] = (
+                    carry_in_refs[si][0] if channels
+                    else carry_in_refs[si][...]
+                )
 
             full_i = jnp.concatenate([scratch_refs[si][0], rows_i], axis=0)
             full_q = jnp.concatenate([scratch_refs[si][1], rows_q], axis=0)
@@ -700,8 +709,12 @@ def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16"):
             # carry = last HBR rows of this stage's input (overlap-save)
             scratch_refs[si][0] = rows_i[A - HBR:]
             scratch_refs[si][1] = rows_q[A - HBR:]
-            carry_out_refs[si][0] = rows_i[A - HBR:]
-            carry_out_refs[si][1] = rows_q[A - HBR:]
+            if channels:
+                carry_out_refs[si][0, 0] = rows_i[A - HBR:]
+                carry_out_refs[si][0, 1] = rows_q[A - HBR:]
+            else:
+                carry_out_refs[si][0] = rows_i[A - HBR:]
+                carry_out_refs[si][1] = rows_q[A - HBR:]
 
             if D == 1:
                 r3i = full_i[:, None, :]
@@ -736,10 +749,14 @@ def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16"):
                 w = jnp.where(jnp.isnan(v), jnp.float32(0.0), w)
             return w.astype(jnp.int32)
 
-        out_ref[0] = (
+        word = (
             (enc(acc[:G]) & jnp.int32(0xFFFF))
             | jnp.left_shift(enc(acc[G:]), 16)
         )
+        if channels:
+            out_ref[0, 0] = word
+        else:
+            out_ref[0] = word
 
     return kernel
 
@@ -869,4 +886,97 @@ def mix_cascade_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo,
         out = out.reshape(B // W, A_f, n_sub, PP)[..., :P].reshape(B, M)
     else:
         out = out.reshape(2, B // W, A_f, n_sub, PP)[..., :P].reshape(2, B, M)
+    return out, carries_out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stages", "interpret", "blocks_per_step")
+)
+def mix_cascade_pallas_channels(words, fields, taps, carries, *, stages,
+                                interpret=False, blocks_per_step=None):
+    """Channel-batched fused cascade: ONE launch for all channels.
+
+    ``words``   : shared wideband ``(B, L)`` i16 words;
+    ``fields``  : ``(7, C, B)`` uint32 plan stack;
+    ``taps``    : per-stage tuple (:func:`make_chain_taps`, inner ``pp=P``);
+    ``carries`` : per-stage tuple of ``(C, 2, HBR_s, 128)`` f32.
+    → ``((C, B, M) words, per-stage (C, 2, HBR_s, 128) carries)``.
+
+    Grid ``(C, B/W)`` channel-major with per-stage carry scratches reseeded
+    at each channel's first step — the cascade analog of
+    :func:`mix_resample_chain_pallas_channels` (i16→i16 only; cross-kernel
+    agreement with C streaming runs is ≤1 LSB per the mix_tone contraction
+    contract, carries bitwise).
+    """
+    B, L = words.shape
+    C = carries[0].shape[0]
+    if fields.shape != (7, C, B):
+        raise ValueError(f"fields shape {fields.shape} != (7, {C}, {B})")
+    stage_shapes = tuple(
+        (P, Q, T, taps[i].shape[0], taps[i].shape[1], taps[i].shape[2])
+        for i, (P, Q, T) in enumerate(stages)
+    )
+    W = blocks_per_step or pick_cascade_blocks_per_step(B, L, stage_shapes)
+    if W is None or B % W:
+        raise ValueError(f"no valid blocks_per_step for cascade (B={B})")
+    dims = cascade_dims(L, W, stage_shapes)
+    nstg = len(dims)
+    SL = L // 128
+    last = dims[-1]
+    G, DCC = last["G"], last["D"] * last["CC"]
+
+    taps_wide = []
+    taps_specs = []
+    for i, st in enumerate(dims):
+        tm = jnp.transpose(jnp.asarray(taps[i]), (1, 0, 2)).reshape(
+            st["R"] * 128, st["CC"])
+        tw = wide_chain_taps(tm, st["D"])
+        taps_wide.append(tw)
+        taps_specs.append(
+            pl.BlockSpec(tw.shape, lambda c, b, *_: (0, 0),
+                         memory_space=pltpu.VMEM))
+    carry_specs = [
+        pl.BlockSpec((1, 2, st["HBR"], 128), lambda c, b, *_: (c, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for st in dims
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(C, B // W),
+        in_specs=[
+            pl.BlockSpec((W, SL, 128), lambda c, b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + taps_specs + carry_specs,
+        out_specs=tuple(
+            [pl.BlockSpec((1, 1, G, DCC), lambda c, b, *_: (c, b, 0, 0),
+                          memory_space=pltpu.VMEM)]
+            + carry_specs
+        ),
+        scratch_shapes=[pltpu.VMEM((2, st["HBR"], 128), jnp.float32)
+                        for st in dims],
+    )
+    f = jnp.asarray(fields, jnp.uint32)
+    outs = pl.pallas_call(
+        _make_cascade_kernel(L, W, dims, "i16", "i16", channels=True),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((C, B // W, G, DCC), jnp.int32)]
+            + [jax.ShapeDtypeStruct((C, 2, st["HBR"], 128), jnp.float32)
+               for st in dims]
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        f[0], f[1], f[2], f[3], f[4], f[5], f[6],
+        words.reshape(B, SL, 128), *taps_wide,
+        *[jnp.asarray(c, jnp.float32) for c in carries],
+    )
+    out = outs[0]
+    carries_out = tuple(outs[1:])
+    A_f, n_sub, PP, P = last["A"], last["n_sub"], last["PP"], last["P"]
+    M_step = A_f * n_sub * P
+    M = M_step // W
+    out = out.reshape(C, B // W, A_f, n_sub, PP)[..., :P].reshape(C, B, M)
     return out, carries_out

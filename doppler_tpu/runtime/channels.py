@@ -104,6 +104,7 @@ class MultiChannelPipeline:
         pallas_interpret: bool = False,
         mesh=None,
         drain_on_eof: bool = False,
+        resample_stages: str = "single",
     ):
         if not channels:
             raise ValueError("need at least one channel")
@@ -128,9 +129,12 @@ class MultiChannelPipeline:
         for idx, ch in enumerate(channels):
             rate = ch.out_rate if ch.out_rate is not None else out_rate
             rates.setdefault(rate, []).append(idx)
+        from doppler_tpu.ops.multistage import make_resampler
+
         self._groups: list[tuple[list[int], RationalResampler | None]] = [
             (idxs,
-             RationalResampler(samplerate, rate, channels=len(idxs))
+             make_resampler(samplerate, rate, stages=resample_stages,
+                            channels=len(idxs))
              if rate is not None else None)
             for rate, idxs in rates.items()
         ]
@@ -145,6 +149,9 @@ class MultiChannelPipeline:
         self.pallas_interpret = pallas_interpret
         self._chain_carries = None    # per-channel fused-chain FIR carries
         self._chain_taps = None
+        self._cascade_carries = None  # per-channel per-stage cascade carries
+        self._cascade_taps = None
+        self._cascade_w = "unset"
 
         # --mesh: channels × time-blocks SPMD (BASELINE config 5 topology).
         # Bytes must match the unsharded run exactly; unsupported structures
@@ -266,6 +273,9 @@ class MultiChannelPipeline:
         chain_out = self._try_chain(staged, fields, total)
         if chain_out is not None:
             return chain_out
+        cascade_out = self._try_cascade(staged, fields, total)
+        if cascade_out is not None:
+            return cascade_out
 
         no_resampling = all(rs is None for _, rs in self._groups)
         mix_outtype = self.outtype if no_resampling else "f32"
@@ -288,8 +298,9 @@ class MultiChannelPipeline:
             return [to_bytes(flat_out[c]) for c in range(C)]
 
         planar = out.reshape(C, -1, 2)
-        # any future fused-chain chunk must reseed its carries from rs history
+        # any future fused chunk must reseed its carries from rs history
         self._chain_carries = None
+        self._cascade_carries = None
         outs: list[bytes] = [b""] * C
         for idxs, rs in self._groups:
             sel = jnp.asarray(idxs)
@@ -445,6 +456,87 @@ class MultiChannelPipeline:
         out_host = np.asarray(out).reshape(C, -1)[:, :n_out]
         return [codec.i16_words_to_bytes(out_host[c]) for c in range(C)]
 
+    def _try_cascade(self, staged, fields, total: int):
+        """Channel-batched fused cascade (round 3): impl='pallas' +
+        uniform-rate multi-stage resampler, i16→i16 — one launch for all
+        channels, the cascade analog of :meth:`_try_chain`.  Returns
+        per-channel bytes or None to fall through to the XLA kernels."""
+        rs = self.resampler if self._uniform else None
+        B, L = self.chunk_blocks, self.block_samples
+        if not (
+            self.impl == "pallas"
+            and rs is not None
+            and getattr(rs, "stages", None) is not None
+            and self.intype == "i16"
+            and self.outtype == "i16"
+            and L % 128 == 0
+            and all(128 % st.Q == 0 for st in rs.stages)
+            and total == B * L
+        ):
+            return None
+        from doppler_tpu.ops.pallas.chain import (
+            carry_rows,
+            make_chain_taps,
+            mix_cascade_pallas_channels,
+            pick_cascade_blocks_per_step,
+        )
+
+        n = len(rs.stages)
+        if self._cascade_taps is None:
+            self._cascade_taps = tuple(
+                jnp.asarray(make_chain_taps(
+                    st.bank, st.P, st.Q,
+                    pp=(st.P if i < n - 1 else None)))
+                for i, st in enumerate(rs.stages)
+            )
+            self._cascade_stages = tuple(
+                (st.P, st.Q, st.T) for st in rs.stages)
+        if self._cascade_w == "unset":
+            shapes = tuple(
+                (st.P, st.Q, st.T, tp.shape[0], tp.shape[1], tp.shape[2])
+                for st, tp in zip(rs.stages, self._cascade_taps)
+            )
+            try:
+                self._cascade_w = pick_cascade_blocks_per_step(B, L, shapes)
+            except ValueError:
+                self._cascade_w = None
+        if self._cascade_w is None:
+            return None
+        C = len(self.channels)
+        if self._cascade_carries is None:
+            carries = []
+            for st in rs.stages:
+                hbr = carry_rows(st.T)
+                h = st.T - 1
+                flat = np.zeros((C, 2, hbr * 128), dtype=np.float32)
+                if h > 0:
+                    flat[:, 0, hbr * 128 - h:] = np.asarray(st._hist_i)
+                    flat[:, 1, hbr * 128 - h:] = np.asarray(st._hist_q)
+                carries.append(jnp.asarray(flat.reshape(C, 2, hbr, 128)))
+            self._cascade_carries = tuple(carries)
+
+        out, self._cascade_carries = mix_cascade_pallas_channels(
+            jnp.asarray(staged), jnp.asarray(fields),
+            self._cascade_taps, self._cascade_carries,
+            stages=self._cascade_stages,
+            blocks_per_step=self._cascade_w,
+            interpret=self.pallas_interpret,
+        )
+
+        n_in = total
+        for st, carry in zip(rs.stages, self._cascade_carries):
+            n_out = st.out_count_for(n_in)
+            st.m_next += n_out
+            st.in_consumed += n_in
+            h = st.T - 1
+            if h > 0:
+                flat_c = carry.reshape(C, 2, -1)
+                st._hist_i = flat_c[:, 0, -h:]
+                st._hist_q = flat_c[:, 1, -h:]
+            n_in = n_out
+        out_host = np.asarray(out).reshape(C, -1)[:, :n_in]
+        return [codec.i16_words_to_bytes(out_host[c]) for c in range(C)]
+
     def drain(self) -> list[bytes]:
         """Flush every resampler group's FIR tail with T−1 zero samples —
         per-channel analog of Pipeline._drain (liquid-dsp flush semantics)."""
@@ -467,6 +559,7 @@ class MultiChannelPipeline:
                 else:
                     outs[cidx] = codec.f32_pairs_to_bytes(enc[row, :n_out])
         self._chain_carries = None    # histories advanced past the stream end
+        self._cascade_carries = None
         return outs
 
     def run(self, fin, writers, should_stop=None) -> Counters:

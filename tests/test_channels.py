@@ -404,3 +404,32 @@ def test_channels_256_uniform_plan_lane(monkeypatch):
     for c in (0, 1, 17, 128, 255):
         want = single_run(buf, float(np.float32(shifts[c])), )
         assert outs[c].getvalue() == want, f"channel {c} diverged"
+
+
+def test_channels_fused_cascade_matches_single_runs():
+    """Round 3: uniform-rate multi-stage channels ride the channel-batched
+    fused cascade kernel (one launch), matching per-channel single runs
+    within the cross-kernel 1-LSB contract."""
+    from doppler_tpu.ops.resample import attach_resampler
+
+    n = 8192 * 6 + 1000            # full chunks + ragged tail (XLA fallback)
+    buf = wideband(n)
+    shifts = [-15000.0, 0.0, 90000.5, 33000.25]
+    specs = [ChannelSpec(f"c{k}", ConstScheduler(s))
+             for k, s in enumerate(shifts)]
+    mp = MultiChannelPipeline(FS, "i16", "i16", specs, out_rate=48000,
+                              chunk_blocks=8, impl="pallas",
+                              pallas_interpret=True,
+                              resample_stages="multi")
+    assert getattr(mp.resampler, "stages", None) is not None
+    outs = [io.BytesIO() for _ in specs]
+    mp.run(io.BytesIO(buf), outs)
+    assert mp._cascade_w is not None, "batched cascade did not engage"
+
+    for got, shift in zip(outs, shifts):
+        pipe = Pipeline(FS, "i16", "i16", ConstScheduler(shift),
+                        chunk_blocks=8, impl="pallas", pallas_interpret=True)
+        attach_resampler(pipe, 48000, stages="multi")
+        want = io.BytesIO()
+        pipe.run(io.BytesIO(buf), want)
+        lsb_close(got.getvalue(), want.getvalue())
