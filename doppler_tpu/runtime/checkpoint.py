@@ -178,5 +178,6 @@ def restore_channels(path: str, mpipe) -> dict:
             if not rstate:
                 raise ValueError(f"checkpoint group {g} missing resampler state")
             rs.load_state(rstate)
-        mpipe._chain_carries = None   # reseed from restored histories
+        mpipe._chain_carries = None    # reseed from restored histories
+        mpipe._cascade_carries = None
     return meta
