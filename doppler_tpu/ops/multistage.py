@@ -178,6 +178,18 @@ def make_resampler(
     ``'multi'`` → force the cascade."""
     heavy = float(out_rate) * 4.0 <= float(in_rate)
     if stages == "multi" or (stages == "auto" and heavy):
+        if stages == "auto":
+            # operator notice (ADVICE r3): 'auto' picks a different filter
+            # chain than 'single' — SNR-equivalent output, not byte-equal
+            # to pre-round-3 captures made with the old 'single' default
+            from doppler_tpu.runtime.telemetry import get_logger
+
+            get_logger("resample").info(
+                "resample-stages auto: %.0f → %.0f Hz decimates ≥4× — "
+                "using the multi-stage cascade (pass --resample-stages "
+                "single for the legacy single-stage filter response)",
+                float(in_rate), float(out_rate),
+            )
         return MultiStageResampler(
             in_rate, out_rate, atten_db=atten_db, channels=channels, **kwargs,
         )

@@ -548,42 +548,55 @@ class Pipeline:
             )
         from doppler_tpu.ops.pallas.chain import carry_rows as _cr
 
-        cone = max(
-            _cr(st.T) * 128 * (self.samplerate // st.in_rate)
-            for st in rs.stages
-        )
-        if L < (rs.T - 1) + cone + (rs.T - 1):
-            raise ValueError(
-                f"block ({L} samples) too short to reconstruct the "
-                f"cascade's history (needs ≥ {2 * (rs.T - 1) + cone})"
-            )
         pa = [
             np.asarray(getattr(last_plan, f))[-1:]
             for f in ("d_hi", "d_lo", "c1_hi", "c1_lo", "c2_hi", "c2_lo", "t")
         ]
         total_1 = self.chunk_blocks * L
         if self._cascade_eligible(total_1):
+            # FUSED replay bound (ADVICE r3: per the path actually taken):
+            # the zero-history corrupt head plus every stage's carry cone
+            # must fit inside the one real block
+            cone = max(
+                _cr(st.T) * 128 * (self.samplerate // st.in_rate)
+                for st in rs.stages
+            )
+            if L < (rs.T - 1) + cone + (rs.T - 1):
+                raise ValueError(
+                    f"block ({L} samples) too short to reconstruct the "
+                    f"cascade's history (needs ≥ {2 * (rs.T - 1) + cone})"
+                )
             from doppler_tpu.ops.pallas.chain import (
                 mix_cascade_pallas_stream,
             )
 
             self._ensure_cascade_state()
+            # Replay through the chunk's own validated step geometry
+            # (blocks_per_step = _cascade_w), zero-prepadding to one full
+            # step with the real block LAST (ADVICE r3 medium: W=1 geometry
+            # need not validate — e.g. L=2176 rows don't tile D=2).  Zero
+            # prefix blocks mix to exact zeros, so each stage's carry —
+            # the last HBR rows of its input, inside the real block by the
+            # cone bound above — is bitwise the 1-block replay's.
+            W_r = self._cascade_w
             if self.intype == "i16":
-                flat = np.zeros(L, dtype="<i4")
-                flat[:] = codec.bytes_to_i16_words(history)
-                staged = flat.reshape(1, L)
+                flat = np.zeros((W_r, L), dtype="<i4")
+                flat[W_r - 1] = codec.bytes_to_i16_words(history)
+                staged = flat
             else:
                 pairs = codec.bytes_to_f32_pairs(history)
-                flat = np.zeros((2, L), dtype="<f4")
-                native.f32_pairs_to_planar_into(pairs, flat[0], flat[1])
-                staged = flat.reshape(2, 1, L)
+                flat = np.zeros((2, W_r, L), dtype="<f4")
+                native.f32_pairs_to_planar_into(
+                    pairs, flat[0, W_r - 1], flat[1, W_r - 1])
+                staged = flat
             zeros = tuple(
                 jnp.zeros_like(c) for c in self._cascade_carries
             )
             _, carries = mix_cascade_pallas_stream(
-                jnp.asarray(staged), *(jnp.asarray(a) for a in pa),
+                jnp.asarray(staged),
+                *(jnp.asarray(np.repeat(a, W_r)) for a in pa),
                 self._cascade_taps, zeros, stages=self._cascade_stages,
-                blocks_per_step=1, interpret=self.pallas_interpret,
+                blocks_per_step=W_r, interpret=self.pallas_interpret,
                 intype=self.intype, outtype=self.outtype,
             )
             self._cascade_carries = carries
@@ -595,6 +608,13 @@ class Pipeline:
                 st.in_consumed = c_in
                 st.m_next = c_out
             return
+        # XLA replay bound: each stage only needs its T−1 input-referred
+        # history past the corrupt head — no 128-row carry padding
+        if L < 2 * (rs.T - 1):
+            raise ValueError(
+                f"block ({L} samples) too short to reconstruct the "
+                f"cascade's history (needs ≥ {2 * (rs.T - 1)})"
+            )
         # XLA cascade: mix the history block with the stream's mixer, then
         # run it through the (fresh) cascade — its chunk-width-stable
         # ``process`` leaves each stage holding exactly the stream's history

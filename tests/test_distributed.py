@@ -171,6 +171,42 @@ def test_seek_cascade_resumes_bitwise(impl):
     assert got == want and len(got) > 0
 
 
+def test_seek_cascade_odd_row_geometry_bitwise():
+    """ADVICE r3 (medium): a non-default block size whose L/128 rows don't
+    tile the halfband D=2 (block_bytes=8704 → L=2176 = 17 rows) is
+    streaming-eligible but used to CRASH seek_to_block, because the fused
+    replay forced blocks_per_step=1.  The replay now runs the chunk's own
+    validated W geometry (zero-prepadded), staying bitwise."""
+    bb = 8704
+    L = bb // 4
+    blocks = 48
+    raw = i16_stream(L * blocks)
+
+    def mk():
+        p = Pipeline(FS, "i16", "i16", ConstScheduler(9000.0),
+                     chunk_blocks=16, block_bytes=bb, impl="pallas",
+                     pallas_interpret=True)
+        attach_resampler(p, 48000.0, stages="multi")
+        return p
+
+    probe = mk()
+    assert probe._cascade_eligible(16 * L), "scenario must be fused-eligible"
+
+    whole = io.BytesIO()
+    mk().run(io.BytesIO(raw), whole)
+    whole = whole.getvalue()
+
+    k = 16
+    n_in = k * L
+    for st in mk().resampler.stages:
+        n_in = -(-n_in * st.P // st.Q)
+    p2 = mk()
+    p2.seek_to_block(k, history=raw[(k - 1) * bb:k * bb])
+    out2 = io.BytesIO()
+    p2.run(io.BytesIO(raw[k * bb:]), out2)
+    assert out2.getvalue() == whole[n_in * 4:] and out2.getvalue()
+
+
 # ---------------------------------------------------------------------------
 # two-process smoke (real coordinator, gloo CPU collectives)
 # ---------------------------------------------------------------------------
