@@ -590,18 +590,25 @@ def chain_channel(words, fields, c, chain_taps, carry_in, *, P: int, Q: int,
 # cheap.
 
 
-def cascade_dims(L: int, W: int, stage_shapes) -> list[dict]:
+def cascade_dims(L: int, W: int, stage_shapes,
+                 final_dense: bool = False) -> list[dict]:
     """Static per-stage geometry for one grid step of W input blocks.
 
     ``stage_shapes``: per stage ``(P, Q, T, n_sub, taps_rows, PP)`` —
     from each stage's :func:`make_chain_taps` output (+ its resampler).
     Raises ValueError when the cascade cannot be fused at this (L, W).
+
+    ``final_dense``: treat the LAST stage like an inner stage (pp=P,
+    D=Q/P merged output groups) so the kernel's output is the dense
+    128-lane stream-row layout — the *split-cascade* front (VERDICT r3
+    next #1): a fusable ÷2^k halfband prefix emits f32 planes for an XLA
+    final stage whose Q doesn't tile 128 lanes.
     """
     A = W * (L // 128)
     dims = []
     nstg = len(stage_shapes)
     for idx, (P, Q, T, n_sub, taps_rows, PP) in enumerate(stage_shapes):
-        last = idx == nstg - 1
+        last = idx == nstg - 1 and not final_dense
         HBR = carry_rows(T)
         R = taps_rows // 128
         CC = n_sub * PP
@@ -761,7 +768,8 @@ def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16",
     return kernel
 
 
-def pick_cascade_blocks_per_step(B: int, L: int, stage_shapes) -> int | None:
+def pick_cascade_blocks_per_step(B: int, L: int, stage_shapes,
+                                 final_dense: bool = False) -> int | None:
     """W dividing B whose geometry validates, sized for VMEM residency.
 
     The kernel keeps the mixed rows, per-stage full buffers, and
@@ -774,7 +782,7 @@ def pick_cascade_blocks_per_step(B: int, L: int, stage_shapes) -> int | None:
     while w >= 1:
         if B % w == 0:
             try:
-                cascade_dims(L, w, stage_shapes)
+                cascade_dims(L, w, stage_shapes, final_dense=final_dense)
                 return w
             except ValueError:
                 pass
@@ -784,12 +792,12 @@ def pick_cascade_blocks_per_step(B: int, L: int, stage_shapes) -> int | None:
 
 @functools.partial(
     jax.jit, static_argnames=("stages", "interpret", "blocks_per_step",
-                              "intype", "outtype")
+                              "intype", "outtype", "final_dense")
 )
 def mix_cascade_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo,
                               t, taps, carries, *, stages, interpret=False,
                               blocks_per_step=None, intype="i16",
-                              outtype="i16"):
+                              outtype="i16", final_dense=False):
     """Streaming fused mix + multi-stage resample cascade.
 
     ``stages``: static tuple of per-stage ``(P, Q, T)``; ``taps``: matching
@@ -798,6 +806,12 @@ def mix_cascade_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo,
     stage.  Input/output wire formats as in
     :func:`mix_resample_chain_pallas_stream`.  Returns
     ``(out, carries_out)`` with per-stage carries for chunk chaining.
+
+    ``final_dense``: the split-cascade *front* — ALL stages use the dense
+    inner-stage layout (build the last stage's taps with ``pp=P`` too) and
+    the output is the final stage's dense stream rows, normally with
+    ``outtype='f32'`` so an XLA final rational stage (Q ∤ 128) can consume
+    the planes (see :func:`cascade_dims`).
     """
     if intype == "i16":
         B, L = words.shape
@@ -807,10 +821,11 @@ def mix_cascade_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo,
         (P, Q, T, taps[i].shape[0], taps[i].shape[1], taps[i].shape[2])
         for i, (P, Q, T) in enumerate(stages)
     )
-    W = blocks_per_step or pick_cascade_blocks_per_step(B, L, stage_shapes)
+    W = blocks_per_step or pick_cascade_blocks_per_step(
+        B, L, stage_shapes, final_dense=final_dense)
     if W is None or B % W:
         raise ValueError(f"no valid blocks_per_step for cascade (B={B})")
-    dims = cascade_dims(L, W, stage_shapes)
+    dims = cascade_dims(L, W, stage_shapes, final_dense=final_dense)
     nstg = len(dims)
     SL = L // 128
     last = dims[-1]

@@ -165,6 +165,7 @@ class Pipeline:
         """Insert a post-mix resampler stage (see ops.resample)."""
         self.resampler = resampler
         self._cascade_w = "unset"          # re-derive cascade geometry
+        self._cascade_k = None             # fused-stage count (split point)
         self._cascade_taps = None
         self._cascade_carries = None
         self._cascade_mesh_ok_c = None
@@ -212,16 +213,22 @@ class Pipeline:
         )
 
     def _cascade_eligible(self, total: int) -> bool:
-        """May this chunk run the fully fused Pallas cascade kernel?
+        """May this chunk run the fused Pallas cascade kernel?
 
         Requires a :class:`~doppler_tpu.ops.multistage.MultiStageResampler`
-        whose stages all tile the 128-lane row (halfbands Q=2 always do;
-        the final rational stage needs ``128 % Q == 0``) and a valid step
-        geometry — checked once and cached.  A final stage with
-        ``128 % Q != 0`` (e.g. 100 Msps → 48 ksps ends in Q=3125) falls back
-        to the XLA cascade for the whole stream today; the heavy decimation
-        still belongs in the fused halfbands — splitting the cascade between
-        kernels is future work.
+        and a valid step geometry — checked once and cached.  Two shapes
+        (``self._cascade_k`` = number of fused stages):
+
+        - **fully fused** (every stage tiles the 128-lane row,
+          ``128 % Q == 0``): one kernel runs mix + all stages + encode.
+        - **split** (the final stage's reduced Q doesn't tile — odd Q can
+          never divide 128; e.g. 100 Msps → 48 ksps ends in Q=3125): the
+          fused kernel runs the heavy ÷2^k front (``final_dense`` dense
+          stream rows, f32 planes out) and the final
+          :class:`~doppler_tpu.ops.resample.RationalResampler` consumes
+          the planes via its XLA ``process`` at 1/2^k of the input rate,
+          where even XLA is cheap (VERDICT r3 next #1; reference contract:
+          liquid-dsp msresamp arbitrary rates, dsp.rs:25).
         """
         rs = self.resampler
         if (rs is None or self.impl != "pallas"
@@ -235,21 +242,36 @@ class Pipeline:
             )
 
             self._cascade_w = None
-            if L % 128 == 0 and all(128 % st.Q == 0 for st in rs.stages):
-                try:
-                    shapes = []
-                    n = len(rs.stages)
-                    for i, st in enumerate(rs.stages):
-                        pp = st.P if i < n - 1 else max(8, st.P)
-                        tp = make_chain_taps(
-                            st.bank, st.P, st.Q,
-                            pp=(st.P if i < n - 1 else None))
-                        shapes.append(
-                            (st.P, st.Q, st.T, tp.shape[0], tp.shape[1], pp))
-                    self._cascade_w = pick_cascade_blocks_per_step(
-                        self.chunk_blocks, L, tuple(shapes))
-                except ValueError:
-                    self._cascade_w = None
+            self._cascade_k = len(rs.stages)
+            if L % 128 == 0:
+                n = len(rs.stages)
+                if all(128 % st.Q == 0 for st in rs.stages):
+                    k = n
+                else:
+                    # longest lane-tiling integer-decimation prefix
+                    k = 0
+                    while (k < n and 128 % rs.stages[k].Q == 0
+                           and rs.stages[k].Q % rs.stages[k].P == 0):
+                        k += 1
+                self._cascade_k = k
+                if k > 0:
+                    dense = k < n
+                    try:
+                        shapes = []
+                        for i, st in enumerate(rs.stages[:k]):
+                            inner = i < k - 1 or dense
+                            pp = st.P if inner else max(8, st.P)
+                            tp = make_chain_taps(
+                                st.bank, st.P, st.Q,
+                                pp=(st.P if inner else None))
+                            shapes.append(
+                                (st.P, st.Q, st.T,
+                                 tp.shape[0], tp.shape[1], pp))
+                        self._cascade_w = pick_cascade_blocks_per_step(
+                            self.chunk_blocks, L, tuple(shapes),
+                            final_dense=dense)
+                    except ValueError:
+                        self._cascade_w = None
         return (
             self._cascade_w is not None
             and total == self.chunk_blocks * L
@@ -310,24 +332,31 @@ class Pipeline:
         return self._cascade_mesh_ok_c
 
     def _ensure_cascade_state(self) -> None:
-        """Seed per-stage chain carries/taps (idempotent; reseeds after a
-        fallback chunk from each stage's mirrored FIR history)."""
+        """Seed fused-stage chain carries/taps (idempotent; reseeds after a
+        fallback chunk from each stage's mirrored FIR history).  Covers the
+        first ``_cascade_k`` stages — all of them when fully fused, the
+        ÷2^k front when split (the XLA tail keeps its own state)."""
         from doppler_tpu.ops.pallas.chain import carry_rows, make_chain_taps
 
         rs = self.resampler
-        n = len(rs.stages)
+        k = self._cascade_k
+        if k is None:
+            # mesh path: _cascade_mesh_ok (not _cascade_eligible) gated the
+            # dispatch, and it only admits fully fused cascades
+            k = self._cascade_k = len(rs.stages)
+        dense = k < len(rs.stages)
         if getattr(self, "_cascade_taps", None) is None:
             self._cascade_taps = tuple(
                 jnp.asarray(make_chain_taps(
                     st.bank, st.P, st.Q,
-                    pp=(st.P if i < n - 1 else None)))
-                for i, st in enumerate(rs.stages)
+                    pp=(st.P if (i < k - 1 or dense) else None)))
+                for i, st in enumerate(rs.stages[:k])
             )
             self._cascade_stages = tuple(
-                (st.P, st.Q, st.T) for st in rs.stages)
+                (st.P, st.Q, st.T) for st in rs.stages[:k])
         if getattr(self, "_cascade_carries", None) is None:
             carries = []
-            for st in rs.stages:
+            for st in rs.stages[:k]:
                 hbr = carry_rows(st.T)
                 flat = np.zeros((2, hbr * 128), dtype=np.float32)
                 h = st.T - 1
@@ -338,11 +367,13 @@ class Pipeline:
             self._cascade_carries = tuple(carries)
 
     def _advance_cascade_state(self, total: int, carries) -> int:
-        """Mirror per-stage resampler bookkeeping out of the device carries
-        (device-lazy) and advance the stream counters.  Returns n_out."""
+        """Mirror fused-stage resampler bookkeeping out of the device carries
+        (device-lazy) and advance the stream counters.  Returns the sample
+        count entering stage ``_cascade_k`` — the final output count when
+        fully fused, the fused front's output count when split."""
         rs = self.resampler
         n_in = total
-        for st, carry in zip(rs.stages, carries):
+        for st, carry in zip(rs.stages[:self._cascade_k], carries):
             n_out = st.out_count_for(n_in)
             st.m_next += n_out
             st.in_consumed += n_in
@@ -556,10 +587,14 @@ class Pipeline:
         if self._cascade_eligible(total_1):
             # FUSED replay bound (ADVICE r3: per the path actually taken):
             # the zero-history corrupt head plus every stage's carry cone
-            # must fit inside the one real block
+            # must fit inside the one real block.  Fused stages need whole
+            # 128-row carries; XLA-tail stages (split cascade) only their
+            # T−1 input-referred samples.
+            kf = self._cascade_k
             cone = max(
-                _cr(st.T) * 128 * (self.samplerate // st.in_rate)
-                for st in rs.stages
+                (_cr(st.T) * 128 if i < kf else st.T - 1)
+                * (self.samplerate // st.in_rate)
+                for i, st in enumerate(rs.stages)
             )
             if L < (rs.T - 1) + cone + (rs.T - 1):
                 raise ValueError(
@@ -592,12 +627,16 @@ class Pipeline:
             zeros = tuple(
                 jnp.zeros_like(c) for c in self._cascade_carries
             )
-            _, carries = mix_cascade_pallas_stream(
+            k = len(self._cascade_stages)
+            split = k < len(rs.stages)
+            out, carries = mix_cascade_pallas_stream(
                 jnp.asarray(staged),
                 *(jnp.asarray(np.repeat(a, W_r)) for a in pa),
                 self._cascade_taps, zeros, stages=self._cascade_stages,
                 blocks_per_step=W_r, interpret=self.pallas_interpret,
-                intype=self.intype, outtype=self.outtype,
+                intype=self.intype,
+                outtype="f32" if split else self.outtype,
+                final_dense=split,
             )
             self._cascade_carries = carries
             for st, carry, (c_in, c_out) in zip(rs.stages, carries, counters):
@@ -607,6 +646,20 @@ class Pipeline:
                 st._hist_q = flat_c[1, flat_c.shape[1] - h:]
                 st.in_consumed = c_in
                 st.m_next = c_out
+            if split:
+                # XLA-tail stages: run the real block's front planes through
+                # the same ``process`` the stream's tail runs — it leaves
+                # each tail stage holding exactly the stream's FIR history
+                # (chunk-width stability), then pin the absolute counters
+                planes = out.reshape(2, W_r, -1)[:, W_r - 1]
+                yi, yq = planes[0], planes[1]
+                n_val = yi.shape[-1]
+                for st, (c_in, c_out) in zip(rs.stages[k:], counters[k:]):
+                    cap = int(yi.shape[-1])
+                    yi, yq, n_val = st.process(yi, yq, n_val,
+                                               M=st.max_out_for(cap))
+                    st.in_consumed = c_in
+                    st.m_next = c_out
             return
         # XLA replay bound: each stage only needs its T−1 input-referred
         # history past the corrupt head — no 128-row carry padding
@@ -779,16 +832,32 @@ class Pipeline:
             from doppler_tpu.ops.pallas.chain import mix_cascade_pallas_stream
 
             self._ensure_cascade_state()
+            k = len(self._cascade_stages)
+            split = k < len(rs.stages)
             out, self._cascade_carries = mix_cascade_pallas_stream(
                 jnp.asarray(staged), *(jnp.asarray(a) for a in arrs),
                 self._cascade_taps, self._cascade_carries,
                 stages=self._cascade_stages,
                 blocks_per_step=self._cascade_w,
                 interpret=self.pallas_interpret,
-                intype=self.intype, outtype=self.outtype,
+                intype=self.intype,
+                outtype="f32" if split else self.outtype,
+                final_dense=split,
             )
-            n_out = self._advance_cascade_state(total, self._cascade_carries)
-            return (out, n_out, self.outtype == "f32")
+            n_mid = self._advance_cascade_state(total, self._cascade_carries)
+            if not split:
+                return (out, n_mid, self.outtype == "f32")
+            # split cascade: the fused front's dense f32 planes feed the
+            # final rational stage's XLA ``process`` at 1/2^k of the input
+            # rate — its own streaming state composes checkpoint/seek
+            planes = out.reshape(2, -1)
+            yi, yq, n_out = planes[0], planes[1], n_mid
+            for st in rs.stages[k:]:
+                cap = int(yi.shape[-1])
+                yi, yq, n_out = st.process(yi, yq, n_out,
+                                           M=st.max_out_for(cap))
+            enc = _encode_kernel(yi, yq, outtype=self.outtype)
+            return (enc, n_out, False)
 
         mix_planar = False
         if use_pallas_mix:
