@@ -1,4 +1,4 @@
-"""Multi-stage resampler: halfband decimation cascade + final rational stage.
+"""Multi-stage resampler: ÷2^k decimation cascade + final rational stage.
 
 The multi-stage half of liquid-dsp's ``msresamp`` capability (SURVEY §2 #10:
 the reference ecosystem's resampler is multi-stage for large ratios).  A
@@ -7,11 +7,14 @@ transition width, so heavy decimation (1.024 Msps → 48 ksps is 3/64; 10 Msps
 → 48 ksps is 6/1250) gets expensive in one stage.  The cascade factors the
 decimation into
 
-    halfband ÷2  →  halfband ÷2  →  …  →  rational P/Q' (small Q')
+    ÷q₀  →  ÷q₁  →  …  →  rational P/Q' (small Q'),   qᵢ ∈ {16, 8, 4, 2}
 
-where every halfband only protects the final output band — its transition
-region is most of its Nyquist interval, so it needs ~10-20 taps — and the
-sharp filter runs at the LOWEST rate, where taps are cheap.  (Per-input MAC
+where every front stage only protects the final output band — its
+transition region is most of its Nyquist interval, so it needs few taps —
+and the sharp filter runs at the LOWEST rate, where taps are cheap.  Stage
+factors are greedy-largest (fewer stages = fewer MACs in the fused kernel's
+dense-matmul formulation; the classic all-halfband chain is the q=2
+degenerate case).  (Per-input MAC
 count of the single-stage polyphase dot is already ~attenuation-bound, not
 Q-bound; what the cascade buys is that no stage carries a long filter —
 prototype memory, FIR history/carry state, group delay, and device taps
@@ -37,26 +40,36 @@ import numpy as np
 from doppler_tpu.ops.filters import kaiser_beta
 from doppler_tpu.ops.resample import RationalResampler
 
-__all__ = ["MultiStageResampler", "halfband_taps_needed", "make_resampler"]
+__all__ = ["MultiStageResampler", "halfband_taps_needed",
+           "stage_taps_needed", "make_resampler"]
+
+
+def stage_taps_needed(stage_rate: float, q: int, pass_hz: float,
+                      atten_db: float) -> int:
+    """Kaiser length for a ÷q decimation stage protecting ``pass_hz``.
+
+    The stage's stopband must start where post-decimation aliases would
+    fold onto the passband: stopband edge = rate/q − pass_hz.  Transition
+    Δν = (rate/q − 2·pass_hz)/rate of the stage's input rate — wide for
+    early stages and small q, hence short filters.  (The windowed-sinc
+    cutoff midpoint (pass + stop)/2 = rate/2q is exactly
+    ``design_polyphase_bank``'s 0.5/Q for P=1, for any pass_hz.)  Odd
+    length keeps the q=2 true-halfband structure and costs nothing
+    elsewhere.
+    """
+    dv = (stage_rate / q - 2.0 * pass_hz) / stage_rate
+    if dv <= 0.0:
+        raise ValueError(f"passband too wide for a ÷{q} stage")
+    n = (max(atten_db, 21.0) - 7.95) / (2.285 * 2.0 * math.pi * dv)
+    n = max(7, int(math.ceil(n)))
+    return n + 1 if n % 2 == 0 else n
 
 
 def halfband_taps_needed(stage_rate: float, pass_hz: float,
                          atten_db: float) -> int:
-    """Kaiser length for a ÷2 halfband protecting ``pass_hz`` at this rate.
-
-    The halfband's stopband must start where post-decimation aliases would
-    fold onto the passband: stopband edge = rate/2 − pass_hz.  Transition
-    Δν = 0.5 − 2·pass_hz/rate of the stage's input rate — wide for early
-    stages, hence short filters.  Odd length keeps the true-halfband
-    structure (center tap ½, even offsets zero).
-    """
-    nu_p = pass_hz / stage_rate
-    dv = 0.5 - 2.0 * nu_p
-    if dv <= 0.0:
-        raise ValueError("halfband passband too wide for a ÷2 stage")
-    n = (max(atten_db, 21.0) - 7.95) / (2.285 * 2.0 * math.pi * dv)
-    n = max(7, int(math.ceil(n)))
-    return n + 1 if n % 2 == 0 else n
+    """Kaiser length for a ÷2 halfband protecting ``pass_hz`` at this rate
+    (the q=2 case of :func:`stage_taps_needed`)."""
+    return stage_taps_needed(stage_rate, 2, pass_hz, atten_db)
 
 
 class MultiStageResampler:
@@ -91,17 +104,39 @@ class MultiStageResampler:
         pass_hz = 0.5 * float(out_rate)       # protect the full output band
         self.stages: list[RationalResampler] = []
         rate = float(in_rate)
-        # ÷2 while the halved rate still fully contains the output band
+        # Greedy ÷q stages (largest q ∈ {16, 8, 4, 2} first) while the
+        # divided rate still fully contains the output band.  Bigger stage
+        # factors cut the fused kernel's MAC count — a P=1/q stage costs
+        # (q+1)·128/q MACs/sample in the dense-matmul formulation (its taps
+        # matrix always spans R = HBR+1 row slices), so one ÷8 ≈ 144 beats
+        # three ÷2 ≈ 336 (VERDICT r3 next #3).  T is capped at 129 taps to
+        # keep the stage's carry at one 128-lane row (HBR=1, R=2); a q
+        # whose sharper transition would exceed that falls back to the next
+        # smaller factor.  All q divide 128, so every stage stays fusable
+        # (and split-cascade-prefix eligible).
         while rate / 2.0 >= 2.0 * out_rate and float(rate / 2.0).is_integer():
-            taps = halfband_taps_needed(rate, pass_hz, atten_db)
+            for q in (16, 8, 4, 2):
+                if rate / q < 2.0 * out_rate:
+                    continue
+                if not float(rate / q).is_integer():
+                    continue
+                try:
+                    taps = stage_taps_needed(rate, q, pass_hz, atten_db)
+                except ValueError:
+                    continue
+                if taps > 129:
+                    continue
+                break
+            else:
+                break
             self.stages.append(
                 RationalResampler(
-                    int(rate), rate / 2.0,
+                    int(rate), rate / q,
                     taps_per_phase=taps, atten_db=atten_db,
                     channels=channels, impl=impl,
                 )
             )
-            rate = rate / 2.0
+            rate = rate / q
         self.stages.append(
             RationalResampler(
                 int(rate), out_rate, atten_db=atten_db, channels=channels,
@@ -110,7 +145,9 @@ class MultiStageResampler:
         )
         fin = self.stages[-1]
         # overall reduced ratio (info only)
-        g = 1 << (len(self.stages) - 1)
+        g = 1
+        for st in self.stages[:-1]:
+            g *= st.Q                     # P=1 decimation front
         self.P = fin.P
         self.Q = fin.Q * g
         gg = math.gcd(self.P, self.Q)
