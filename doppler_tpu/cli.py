@@ -174,10 +174,14 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
                    help="channels mode: channel-parallel host count "
                         "(default: all hosts split the channel axis)")
     p.add_argument("--save-state", metavar="PATH", default=None,
-                   help="write a resumable checkpoint (.npz) at EOF")
+                   help="write a resumable checkpoint (.npz) at EOF or on "
+                        "SIGTERM/SIGINT; under --distributed host k writes "
+                        "PATH.hK (state is host-local)")
     p.add_argument("--load-state", metavar="PATH", default=None,
                    help="resume from a checkpoint written by --save-state "
-                        "(feed the stream from the saved byte offset)")
+                        "(feed the stream from the saved byte offset); "
+                        "under --distributed host k restores PATH.hK and "
+                        "appends to its own part file")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -305,10 +309,12 @@ def main(argv=None, stdin=None, stdout=None) -> int:
             log.error("--distributed needs --input FILE (hosts seek to "
                       "their own byte ranges; a pipe cannot be split)")
             return 1
-        if dist_nproc > 1 and (args.save_state or args.load_state):
-            log.error("--distributed with --save/load-state is not "
-                      "supported (checkpoint per host instead)")
-            return 1
+        # --save/load-state under --distributed is per host: host k writes
+        # PATH.hK (its pipeline state is host-local by construction — the
+        # byte-range split has zero cross-host state) and a restarted host
+        # k resumes from PATH.hK appending to its own part file, emitting
+        # exactly the bytes the uninterrupted run would have (elastic
+        # recovery, SURVEY §5; tests/test_distributed.py).
 
     outtype = args.outtype or args.intype
     if args.input:
@@ -321,10 +327,15 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         stdin = sys.stdin.buffer
     if args.output and args.mode != "channels":
         out_path = args.output
+        mode = "wb"
         if dist_nproc > 1:
             out_path = f"{args.output}.part{dist_pid}"
+            if args.load_state:
+                # distributed resume: a SIGTERM-stopped host's part file is
+                # exactly consistent with its checkpoint — append to it
+                mode = "ab"
         try:
-            stdout = open(out_path, "wb")
+            stdout = open(out_path, mode)
         except OSError as e:
             log.error("%s", e)
             return 1
@@ -577,24 +588,46 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                            process_count=dist_nproc)
         lo = shard.block_lo * chunk_bytes
         hi = min(size, shard.block_hi * chunk_bytes)
-        history = None
-        if lo > 0 and pipe.resampler is not None:
-            with open(args.input, "rb") as hf:
-                hf.seek(lo - args.block_bytes)
-                history = hf.read(args.block_bytes)
-        try:
-            pipe.seek_to_block(shard.block_lo * chunk_blocks,
-                               history=history)
-        except ValueError as e:
-            log.error("%s", e)
-            return 1
+        if args.load_state:
+            # elastic restart: this host's own checkpoint carries absolute
+            # stream position + FIR state — restore replaces the seek
+            from doppler_tpu.runtime import checkpoint
+
+            try:
+                meta = checkpoint.restore(
+                    f"{args.load_state}.h{dist_pid}", pipe)
+            except (ValueError, OSError) as e:
+                log.error("%s", e)
+                return 1
+            resume_lo = meta["sample_offset"] * stream_bps(args.intype)
+            if (not (lo <= resume_lo <= hi)
+                    or (resume_lo % chunk_bytes and resume_lo != hi)):
+                log.error(
+                    "checkpoint at byte %d is outside this host's range "
+                    "[%d, %d) or not chunk-aligned", resume_lo, lo, hi)
+                return 1
+            lo = resume_lo
+            log.info("host %d resumed at input sample %d",
+                     dist_pid, meta["sample_offset"])
+        else:
+            history = None
+            if lo > 0 and pipe.resampler is not None:
+                with open(args.input, "rb") as hf:
+                    hf.seek(lo - args.block_bytes)
+                    history = hf.read(args.block_bytes)
+            try:
+                pipe.seek_to_block(shard.block_lo * chunk_blocks,
+                                   history=history)
+            except ValueError as e:
+                log.error("%s", e)
+                return 1
         stdin = ByteRangeReader(open(args.input, "rb"), lo, hi)
         if dist_pid != dist_nproc - 1:
             pipe.drain_on_eof = False   # only the stream's last host drains
         log.info("host %d owns chunks [%d, %d) = bytes [%d, %d)",
                  dist_pid, shard.block_lo, shard.block_hi, lo, hi)
 
-    if args.load_state:
+    if args.load_state and dist_nproc == 1:
         from doppler_tpu.runtime import checkpoint
 
         try:
@@ -634,8 +667,11 @@ def main(argv=None, stdin=None, stdout=None) -> int:
     if args.save_state:
         from doppler_tpu.runtime import checkpoint
 
-        checkpoint.save(args.save_state, pipe)
-        log.info("checkpoint written to %s", args.save_state)
+        state_path = args.save_state
+        if dist_nproc > 1:
+            state_path = f"{args.save_state}.h{dist_pid}"
+        checkpoint.save(state_path, pipe)
+        log.info("checkpoint written to %s", state_path)
     if stop_flag["stop"]:
         log.warning("stopped by signal after a consistent chunk boundary")
         return 130

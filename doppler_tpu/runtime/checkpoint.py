@@ -61,7 +61,10 @@ def save(path: str, pipe) -> None:
         # (ops.multistage) both round-trip; integers become 0-d arrays
         for key, val in pipe.resampler.state_dict().items():
             arrays[f"rs_{key}"] = np.asarray(val)
-    np.savez(path, **arrays)
+    # write through a file object: np.savez(str) appends '.npz' to names
+    # without that extension, breaking per-host paths like ck.npz.h0
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def restore(path: str, pipe) -> dict:
@@ -131,7 +134,8 @@ def save_channels(path: str, mpipe) -> None:
             continue
         for key, val in rs.state_dict().items():
             arrays[f"g{g}_{key}"] = np.asarray(val)
-    np.savez(path, **arrays)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def restore_channels(path: str, mpipe) -> dict:

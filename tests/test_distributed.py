@@ -267,6 +267,70 @@ def test_two_process_stream_split(tmp_path):
     assert got == single.read_bytes() and len(got) > 0
 
 
+def test_two_process_elastic_checkpoint_restart(tmp_path):
+    """Elastic recovery (round 4, VERDICT r3 next #6): host 0 of a
+    two-process run is SIGTERMed mid-stream with --save-state; BOTH hosts
+    are then relaunched with --load-state (per-host PATH.hK files), host 0
+    appending to its part file from its checkpoint.  The concatenated parts
+    must equal the single-process bytes — the uninterrupted output."""
+    raw = i16_stream(2048 * 16 * 24)         # 24 chunks: long enough to
+    inp = tmp_path / "in.iq"                 # interrupt host 0 mid-range
+    inp.write_bytes(raw)
+    out = tmp_path / "out.iq"
+    ck = tmp_path / "ck.npz"
+    base = ["const", "-s", str(FS), "-i", "i16", "--shift", "-15000",
+            "--resample-to", "48000", "--chunk-blocks", "16",
+            "--platform", "cpu", "--input", str(inp),
+            "--output", str(out)]
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    single = tmp_path / "single.iq"
+    p = _spawn_cli(base[:-1] + [str(single)], env)
+    _, err = p.communicate(timeout=420)
+    assert p.returncode == 0, err.decode()[-3000:]
+
+    def spawn_round(extra):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            dist = (f"coordinator=127.0.0.1:{port},"
+                    f"num_processes=2,process_id={pid}")
+            procs.append(_spawn_cli(
+                base + extra + ["--distributed", dist], env))
+        return procs
+
+    # round 1: SIGTERM host 0 once its part file shows progress (the
+    # signal handler is installed before the run loop starts writing)
+    procs = spawn_round(["--save-state", str(ck)])
+    part0 = tmp_path / "out.iq.part0"
+    import time as _time
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        if part0.exists() and part0.stat().st_size > 0:
+            break
+        if procs[0].poll() is not None:
+            break
+        _time.sleep(0.05)
+    if procs[0].poll() is None:
+        import signal as _signal
+        procs[0].send_signal(_signal.SIGTERM)
+    outs = [p.communicate(timeout=420) for p in procs]
+    assert procs[0].returncode in (0, 130), outs[0][1].decode()[-3000:]
+    assert procs[1].returncode == 0, outs[1][1].decode()[-3000:]
+    assert (tmp_path / "ck.npz.h0").exists()
+    assert (tmp_path / "ck.npz.h1").exists()
+
+    # round 2: both hosts restart from their checkpoints (fresh coordinator)
+    procs = spawn_round(["--load-state", str(ck)])
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (_, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    got = part0.read_bytes() + (tmp_path / "out.iq.part1").read_bytes()
+    assert got == single.read_bytes() and len(got) > 0
+
+
 def test_two_process_channels_split(tmp_path):
     """Channels mode: hosts split the channel axis (zero communication);
     the union of per-channel files equals the single-process run."""

@@ -17,6 +17,18 @@ Variants (all move the same 8 bytes/sample of HBM traffic, i16→i16 layout):
                                       int32 MAC, integer saturate (SNR-grade,
                                       not byte-exact; see ops/pallas/mixer.py)
 
+Chain-shaped variants (VERDICT r3 #2: attribute the fused chain's gap to
+the DMA envelope — all move the chain's ≈4.5 B/sample traffic, identical
+grid/BlockSpec geometry to the product chain kernel):
+
+  chain-copy  read (W,S,128) words, write the chain's (1,G,128) out block,
+              zero compute — the DMA floor at chain traffic shape
+  chain-mix   + decode, exact Q0.64 phase, quarter-wave tone, mix, encode
+              (full VPU work, no matmuls) — chain-mix − chain-copy = VPU cost
+  chain       the real fused chain kernel — chain − chain-mix = MXU cost
+  chain-pp4   chain with pp=4 taps (CC=8, D=16: 19/16 MXU passes/LHS-row
+              vs the default pp=8's 11/8) — the lane-packing experiment
+
 Methodology matches bench.py: K dispatches per timed iteration, one
 readback that depends on all of them, best-of-iters.  Run on the real TPU:
 
@@ -167,6 +179,127 @@ def main() -> int:
     if "mixer-q15" in args.variants:
         steps["mixer-q15"] = (
             functools.partial(mix_blocks_pallas_q15, interpret=interp), 8)
+
+    # ---- chain-shaped variants --------------------------------------------
+    if any(v.startswith("chain") for v in args.variants.split(",")):
+        from doppler_tpu.ops.pallas.chain import (
+            _pick_chain_blocks_per_step,
+            _pick_group_cols,
+            make_chain_taps,
+            mix_resample_chain_pallas,
+        )
+        from doppler_tpu.ops.pallas.mixer import _sincos_q24, _umulhi32
+        from doppler_tpu.ops.resample import RationalResampler
+        from doppler_tpu.ops.sincos import mix_tone
+
+        rs = RationalResampler(fs, 48000)
+        taps8 = jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q))
+        n_sub, _, PP = taps8.shape
+        CC = n_sub * PP
+        Wc = _pick_chain_blocks_per_step(B, L, rs.T, CC)
+        A = Wc * S
+        G = A // _pick_group_cols(A, CC)
+        bps_chain = 4.0 + 4.0 * (G * 128) / (A * 128)
+
+        def make_chain_shape_kernel(do_mix):
+            def kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r,
+                       t_r, words_ref, out_ref):
+                b = pl.program_id(0)
+                if not do_mix:
+                    rows = words_ref[...].reshape(A, 128)
+                    out_ref[0] = rows[:G]
+                    return
+                j = (
+                    jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 0)
+                    * jnp.uint32(128)
+                    + jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 1)
+                )
+                scale = jnp.float32(1.0 / 32768.0)
+                mis, mqs = [], []
+                for wi in range(Wc):
+                    k = b * Wc + wi
+                    w = words_ref[wi]
+                    fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
+                    fq = (w >> 16).astype(jnp.float32) * scale
+                    d_hi = d_hi_r[k]
+                    d_lo = d_lo_r[k]
+                    jd_lo = j * d_lo
+                    jd_hi = _umulhi32(j, d_lo) + j * d_hi
+
+                    def with_offset(c_hi, c_lo, jd_lo=jd_lo, jd_hi=jd_hi):
+                        lo = jd_lo + c_lo
+                        carry = (lo < jd_lo).astype(jnp.uint32)
+                        return jd_hi + c_hi + carry
+
+                    q32 = jnp.where(
+                        j < t_r[k],
+                        with_offset(c1_hi_r[k], c1_lo_r[k]),
+                        with_offset(c2_hi_r[k], c2_lo_r[k]),
+                    )
+                    q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
+                    c, s_ = _sincos_q24(q24)
+                    oi, oq = mix_tone(fi, fq, c, s_)
+                    mis.append(oi)
+                    mqs.append(oq)
+                mi = jnp.concatenate(mis, axis=0)
+                mq = jnp.concatenate(mqs, axis=0)
+
+                def enc(v):
+                    w_ = jnp.trunc(v * jnp.float32(32767.0))
+                    w_ = jnp.clip(w_, jnp.float32(-32768.0),
+                                  jnp.float32(32767.0))
+                    return w_.astype(jnp.int32)
+
+                out_ref[0] = (
+                    (enc(mi[:G]) & jnp.int32(0xFFFF))
+                    | jnp.left_shift(enc(mq[:G]), 16)
+                )
+            return kernel
+
+        def chain_shape_run(do_mix):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=7,
+                grid=(B // Wc,),
+                in_specs=[pl.BlockSpec((Wc, S, 128), lambda b, *_: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, G, 128), lambda b, *_: (b, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            )
+
+            @jax.jit
+            def run(x, *plans):
+                return pl.pallas_call(
+                    make_chain_shape_kernel(do_mix),
+                    grid_spec=grid_spec,
+                    out_shape=jax.ShapeDtypeStruct((B // Wc, G, 128),
+                                                   jnp.int32),
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("arbitrary",),
+                    ),
+                    interpret=interp,
+                )(*(jnp.asarray(p, jnp.uint32) for p in plans),
+                  x.reshape(B, S, 128))
+            return run
+
+        if "chain-copy" in args.variants:
+            run = chain_shape_run(False)
+            steps["chain-copy"] = (
+                (lambda r: (lambda x, *p: r(x, *p)))(run), bps_chain)
+        if "chain-mix" in args.variants:
+            run = chain_shape_run(True)
+            steps["chain-mix"] = (
+                (lambda r: (lambda x, *p: r(x, *p)))(run), bps_chain)
+        if "chain" in args.variants.split(","):
+            steps["chain"] = (
+                (lambda tp: (lambda x, *p: mix_resample_chain_pallas(
+                    x, *p, tp, P=rs.P, Q=rs.Q, T=rs.T,
+                    interpret=interp)))(taps8), bps_chain)
+        if "chain-pp4" in args.variants:
+            taps4 = jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q, pp=4))
+            steps["chain-pp4"] = (
+                (lambda tp: (lambda x, *p: mix_resample_chain_pallas(
+                    x, *p, tp, P=rs.P, Q=rs.Q, T=rs.T,
+                    interpret=interp)))(taps4), bps_chain)
 
     K = max(1, args.dispatches)
     results = {}
