@@ -47,6 +47,41 @@ def _umulhi32(a, b):
     return hh + (lh >> 16) + (hl >> 16) + (mid >> 16)
 
 
+def phase_q24(j, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
+              small_j: bool = True):
+    """Exact Q0.64 phase → top-24-bit int32 word, the shared VPU hot loop.
+
+    Computes ``(j·D + C) mod 2^64 >> 40`` on uint32 lanes where D/C are the
+    per-block plan scalars and C selects C1/C2 on the samplenum-reset
+    boundary ``j < t`` (ops.phase_plan).  Two exact strength reductions over
+    the naive form (VERDICT r3 next #2 — the chain is VPU-mix-bound, so
+    every lane op counts; both are integer-exact, bitwise-identical
+    transformations):
+
+    - ``small_j``: block-local j < 2^16 (every L ≤ 65536) zeroes the high
+      half of j, so the 32×32 umulhi's a_hi partials vanish — 2 multiplies
+      + 5 ops instead of 4 + 8;
+    - the C1/C2 segment choice selects the *offset scalars* before ONE
+      add-with-carry instead of computing both offset sums and selecting —
+      u32 addition gives the same words either way.
+    """
+    jd_lo = j * d_lo
+    if small_j:
+        ll = j * (d_lo & _MASK16)
+        lh = j * (d_lo >> 16)
+        hi = (lh >> 16) + (((ll >> 16) + (lh & _MASK16)) >> 16)
+    else:
+        hi = _umulhi32(j, d_lo)
+    jd_hi = hi + j * d_hi
+    m = j < t
+    c_hi = jnp.where(m, c1_hi, c2_hi)
+    c_lo = jnp.where(m, c1_lo, c2_lo)
+    lo = jd_lo + c_lo
+    carry = (lo < jd_lo).astype(jnp.uint32)
+    q32 = jd_hi + c_hi + carry
+    return jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
+
+
 # the tone evaluation lives in ops.sincos (shared with the XLA mixer so both
 # paths emit identical bytes); measured ~1.3 ms per 33.5M samples on v5e
 _sincos_q24 = sincos_q24_neg
@@ -91,24 +126,11 @@ def _make_mixer_kernel(W: int, intype: str = "i16", outtype: str = "i16"):
                 fi = in_ref[0, wi]
                 fq = in_ref[1, wi]
 
-            # ---- exact Q0.64 phase: (j·D + C) mod 2^64, top 32 bits
-            d_hi = d_hi_r[k]
-            d_lo = d_lo_r[k]
-            jd_lo = j * d_lo
-            jd_hi = _umulhi32(j, d_lo) + j * d_hi
-
-            def with_offset(c_hi, c_lo, jd_lo=jd_lo, jd_hi=jd_hi):
-                lo = jd_lo + c_lo
-                carry = (lo < jd_lo).astype(jnp.uint32)
-                return jd_hi + c_hi + carry
-
-            q32_a = with_offset(c1_hi_r[k], c1_lo_r[k])
-            q32_b = with_offset(c2_hi_r[k], c2_lo_r[k])
-            q32 = jnp.where(j < t_r[k], q32_a, q32_b)
-
-            # Mosaic has no uint32→f32 cast; keep the top 24 bits via int32 —
-            # f32 would only retain 24 bits of the Q0.32 phase anyway.
-            q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
+            # ---- exact Q0.64 phase: (j·D + C) mod 2^64, top 24 bits via
+            # int32 (Mosaic has no uint32→f32 cast; f32 would only retain
+            # 24 bits of the Q0.32 phase anyway)
+            q24 = phase_q24(j, d_hi_r[k], d_lo_r[k], c1_hi_r[k], c1_lo_r[k],
+                            c2_hi_r[k], c2_lo_r[k], t_r[k])
             c, s = _sincos_q24(q24)
 
             oi, oq = mix_tone(fi, fq, c, s)
@@ -250,18 +272,8 @@ def _make_q15_kernel(W: int):
 
             d_hi = d_hi_r[k]
             d_lo = d_lo_r[k]
-            jd_lo = j * d_lo
-            jd_hi = _umulhi32(j, d_lo) + j * d_hi
-
-            def with_offset(c_hi, c_lo, jd_lo=jd_lo, jd_hi=jd_hi):
-                lo = jd_lo + c_lo
-                carry = (lo < jd_lo).astype(jnp.uint32)
-                return jd_hi + c_hi + carry
-
-            q32_a = with_offset(c1_hi_r[k], c1_lo_r[k])
-            q32_b = with_offset(c2_hi_r[k], c2_lo_r[k])
-            q32 = jnp.where(j < t_r[k], q32_a, q32_b)
-            q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
+            q24 = phase_q24(j, d_hi, d_lo, c1_hi_r[k], c1_lo_r[k],
+                            c2_hi_r[k], c2_lo_r[k], t_r[k])
             c, s = _sincos_q24(q24)
 
             # Q15 tone: round-half-away of ×32767 (scale 32767, not 32768,

@@ -152,6 +152,7 @@ class MultiChannelPipeline:
         self._cascade_carries = None  # per-channel per-stage cascade carries
         self._cascade_taps = None
         self._cascade_w = "unset"
+        self._cascade_k = None        # fused-stage count (split point)
 
         # --mesh: channels × time-blocks SPMD (BASELINE config 5 topology).
         # Bytes must match the unsharded run exactly; unsupported structures
@@ -270,10 +271,10 @@ class MultiChannelPipeline:
             if sharded is not None:
                 return sharded
 
-        chain_out = self._try_chain(staged, fields, total)
+        chain_out = self._try_chain(staged, fields, total, chunk.data)
         if chain_out is not None:
             return chain_out
-        cascade_out = self._try_cascade(staged, fields, total)
+        cascade_out = self._try_cascade(staged, fields, total, chunk.data)
         if cascade_out is not None:
             return cascade_out
 
@@ -397,19 +398,46 @@ class MultiChannelPipeline:
         flat = np.concatenate(parts, axis=1)
         return [to_bytes(flat[c]) for c in range(C)]
 
-    def _try_chain(self, staged, fields, total: int):
-        """Fused Pallas chain per channel (impl='pallas', uniform-rate i16
-        captures): one decode→mix→resample→encode dispatch per channel, no
-        HBM round trip for the mixed planes.  Returns per-channel bytes or
-        None to fall through to the XLA kernels."""
+    def _stage_planar(self, data: bytes):
+        """Raw f32 chunk bytes → planar ``(2, B, L)`` planes (the Pallas
+        wire layout, mirroring Pipeline._stage_in(planar=True))."""
+        from doppler_tpu.runtime import native
+
+        B, L = self.chunk_blocks, self.block_samples
+        pairs = codec.bytes_to_f32_pairs(data)
+        flat = np.zeros((2, B * L), dtype="<f4")
+        native.f32_pairs_to_planar_into(pairs, flat[0], flat[1])
+        return flat.reshape(2, B, L)
+
+    def _emit_channel_bytes(self, out, n_out: int):
+        """Device output → per-channel byte strings.
+
+        ``out``: (C, B, M) i16 words or (2, C, B, M) f32 planes."""
+        from doppler_tpu.runtime import native
+
+        C = len(self.channels)
+        if self.outtype == "i16":
+            host = np.asarray(out).reshape(C, -1)[:, :n_out]
+            return [codec.i16_words_to_bytes(host[c]) for c in range(C)]
+        host = np.asarray(out).reshape(2, C, -1)
+        return [
+            codec.f32_pairs_to_bytes(native.planar_to_f32_pairs(
+                host[0, c, :n_out], host[1, c, :n_out]))
+            for c in range(C)
+        ]
+
+    def _try_chain(self, staged, fields, total: int, data: bytes):
+        """Fused Pallas chain per channel (impl='pallas', uniform-rate
+        captures, all four wire formats — round 4): one decode→mix→
+        resample→encode launch for all channels, no HBM round trip for the
+        mixed planes.  Returns per-channel bytes or None to fall through
+        to the XLA kernels."""
         rs = self.resampler if self._uniform else None
         B, L = self.chunk_blocks, self.block_samples
         if not (
             self.impl == "pallas"
             and rs is not None
             and getattr(rs, "bank", None) is not None
-            and self.intype == "i16"
-            and self.outtype == "i16"
             and L % 128 == 0
             and 128 % rs.Q == 0
             and total == B * L          # padded tails poison the carry
@@ -438,11 +466,13 @@ class MultiChannelPipeline:
                 flat[:, 1, hbr * 128 - h:] = np.asarray(rs._hist_q)
             self._chain_carries = jnp.asarray(flat.reshape(C, 2, hbr, 128))
 
-        words = jnp.asarray(staged)
+        words = jnp.asarray(
+            staged if self.intype == "i16" else self._stage_planar(data))
         fields_dev = jnp.asarray(fields)     # one (7, C, B) transfer per chunk
         out, self._chain_carries = mix_resample_chain_pallas_channels(
             words, fields_dev, self._chain_taps, self._chain_carries,
             P=rs.P, Q=rs.Q, T=rs.T, interpret=self.pallas_interpret,
+            intype=self.intype, outtype=self.outtype,
         )
 
         n_out = rs.out_count_for(total)
@@ -453,13 +483,15 @@ class MultiChannelPipeline:
             flat_c = self._chain_carries.reshape(C, 2, -1)
             rs._hist_i = flat_c[:, 0, -h:]
             rs._hist_q = flat_c[:, 1, -h:]
-        out_host = np.asarray(out).reshape(C, -1)[:, :n_out]
-        return [codec.i16_words_to_bytes(out_host[c]) for c in range(C)]
+        return self._emit_channel_bytes(out, n_out)
 
-    def _try_cascade(self, staged, fields, total: int):
-        """Channel-batched fused cascade (round 3): impl='pallas' +
-        uniform-rate multi-stage resampler, i16→i16 — one launch for all
-        channels, the cascade analog of :meth:`_try_chain`.  Returns
+    def _try_cascade(self, staged, fields, total: int, data: bytes):
+        """Channel-batched fused cascade: impl='pallas' + uniform-rate
+        multi-stage resampler, all four wire formats — one launch for all
+        channels, the cascade analog of :meth:`_try_chain`.  Odd-Q final
+        stages run SPLIT exactly like the single-stream pipeline (round 4):
+        the fused ÷2^k front emits f32 planes and the final stage's batched
+        XLA ``process`` consumes them at 1/2^k of the input rate.  Returns
         per-channel bytes or None to fall through to the XLA kernels."""
         rs = self.resampler if self._uniform else None
         B, L = self.chunk_blocks, self.block_samples
@@ -467,10 +499,7 @@ class MultiChannelPipeline:
             self.impl == "pallas"
             and rs is not None
             and getattr(rs, "stages", None) is not None
-            and self.intype == "i16"
-            and self.outtype == "i16"
             and L % 128 == 0
-            and all(128 % st.Q == 0 for st in rs.stages)
             and total == B * L
         ):
             return None
@@ -482,30 +511,43 @@ class MultiChannelPipeline:
         )
 
         n = len(rs.stages)
-        if self._cascade_taps is None:
-            self._cascade_taps = tuple(
-                jnp.asarray(make_chain_taps(
-                    st.bank, st.P, st.Q,
-                    pp=(st.P if i < n - 1 else None)))
-                for i, st in enumerate(rs.stages)
-            )
-            self._cascade_stages = tuple(
-                (st.P, st.Q, st.T) for st in rs.stages)
         if self._cascade_w == "unset":
-            shapes = tuple(
-                (st.P, st.Q, st.T, tp.shape[0], tp.shape[1], tp.shape[2])
-                for st, tp in zip(rs.stages, self._cascade_taps)
-            )
-            try:
-                self._cascade_w = pick_cascade_blocks_per_step(B, L, shapes)
-            except ValueError:
-                self._cascade_w = None
+            if all(128 % st.Q == 0 for st in rs.stages):
+                k = n
+            else:
+                k = 0
+                while (k < n and 128 % rs.stages[k].Q == 0
+                       and rs.stages[k].Q % rs.stages[k].P == 0):
+                    k += 1
+            self._cascade_k = k
+            self._cascade_w = None
+            if k > 0:
+                dense = k < n
+                self._cascade_taps = tuple(
+                    jnp.asarray(make_chain_taps(
+                        st.bank, st.P, st.Q,
+                        pp=(st.P if (i < k - 1 or dense) else None)))
+                    for i, st in enumerate(rs.stages[:k])
+                )
+                self._cascade_stages = tuple(
+                    (st.P, st.Q, st.T) for st in rs.stages[:k])
+                shapes = tuple(
+                    (st.P, st.Q, st.T, tp.shape[0], tp.shape[1], tp.shape[2])
+                    for st, tp in zip(rs.stages, self._cascade_taps)
+                )
+                try:
+                    self._cascade_w = pick_cascade_blocks_per_step(
+                        B, L, shapes, final_dense=dense)
+                except ValueError:
+                    self._cascade_w = None
         if self._cascade_w is None:
             return None
+        k = self._cascade_k
+        split = k < n
         C = len(self.channels)
         if self._cascade_carries is None:
             carries = []
-            for st in rs.stages:
+            for st in rs.stages[:k]:
                 hbr = carry_rows(st.T)
                 h = st.T - 1
                 flat = np.zeros((C, 2, hbr * 128), dtype=np.float32)
@@ -515,16 +557,21 @@ class MultiChannelPipeline:
                 carries.append(jnp.asarray(flat.reshape(C, 2, hbr, 128)))
             self._cascade_carries = tuple(carries)
 
+        words = jnp.asarray(
+            staged if self.intype == "i16" else self._stage_planar(data))
         out, self._cascade_carries = mix_cascade_pallas_channels(
-            jnp.asarray(staged), jnp.asarray(fields),
+            words, jnp.asarray(fields),
             self._cascade_taps, self._cascade_carries,
             stages=self._cascade_stages,
             blocks_per_step=self._cascade_w,
             interpret=self.pallas_interpret,
+            intype=self.intype,
+            outtype="f32" if split else self.outtype,
+            final_dense=split,
         )
 
         n_in = total
-        for st, carry in zip(rs.stages, self._cascade_carries):
+        for st, carry in zip(rs.stages[:k], self._cascade_carries):
             n_out = st.out_count_for(n_in)
             st.m_next += n_out
             st.in_consumed += n_in
@@ -534,8 +581,21 @@ class MultiChannelPipeline:
                 st._hist_i = flat_c[:, 0, -h:]
                 st._hist_q = flat_c[:, 1, -h:]
             n_in = n_out
-        out_host = np.asarray(out).reshape(C, -1)[:, :n_in]
-        return [codec.i16_words_to_bytes(out_host[c]) for c in range(C)]
+        if not split:
+            return self._emit_channel_bytes(out, n_in)
+        # split: fused front planes (2, C, B, M_mid) → batched XLA tail
+        planes = out.reshape(2, C, -1)
+        yi, yq = planes[0], planes[1]
+        for st in rs.stages[k:]:
+            cap = int(yi.shape[-1])
+            yi, yq, n_in = st.process(yi, yq, n_in, M=st.max_out_for(cap))
+        enc = _encode_kernel(yi, yq, outtype=self.outtype)
+        host = np.asarray(enc)
+        if self.outtype == "i16":
+            return [codec.i16_words_to_bytes(host[c, :n_in])
+                    for c in range(C)]
+        return [codec.f32_pairs_to_bytes(host[c, :n_in])
+                for c in range(C)]
 
     def drain(self) -> list[bytes]:
         """Flush every resampler group's FIR tail with T−1 zero samples —

@@ -469,3 +469,111 @@ def test_channels_cascade_checkpoint_resume_bitwise(tmp_path):
     mp2.run(io.BytesIO(buf[half:]), o2)
     for c in range(len(shifts)):
         assert o1[c].getvalue() + o2[c].getvalue() == whole[c]
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (VERDICT r3 next #4): f32 wire formats in the channel-batched
+# fused kernels, and the split cascade in channels mode.
+
+
+def f32_wideband(n, seed=0xF32):
+    rng = np.random.default_rng(seed)
+    return (0.3 * rng.standard_normal(2 * n)).astype("<f4").tobytes()
+
+
+def _f32_close(a: bytes, b: bytes, tol=1e-6):
+    xa = np.frombuffer(a, dtype="<f4")
+    xb = np.frombuffer(b, dtype="<f4")
+    assert xa.size == xb.size and xa.size > 0
+    rel = np.sqrt(np.mean((xa - xb) ** 2)) / (np.sqrt(np.mean(xb ** 2)) + 1e-30)
+    assert rel < tol, rel
+
+
+@pytest.mark.parametrize("stages", ["single", "multi"])
+def test_channels_f32_fused_paths(stages):
+    """f32 in/out channels mode stays on the one-launch fused path (chain
+    and cascade), matching the XLA channels formulation to 1-ulp grade."""
+    n = 1024 * 16 * 8            # f32 blocks are 1024 samples
+    buf = f32_wideband(n)
+
+    def run(impl):
+        specs = [ChannelSpec("x", ConstScheduler(9000.0)),
+                 ChannelSpec("y", ConstScheduler(-7000.0))]
+        mp = MultiChannelPipeline(FS, "f32", "f32", specs, out_rate=48000,
+                                  chunk_blocks=16, impl=impl,
+                                  pallas_interpret=(impl == "pallas"),
+                                  resample_stages=stages)
+        outs = [io.BytesIO() for _ in specs]
+        mp.run(io.BytesIO(buf), outs)
+        return mp, [o.getvalue() for o in outs]
+
+    mp_p, pal = run("pallas")
+    if stages == "single":
+        assert mp_p._chain_taps is not None, "f32 chain did not engage"
+    else:
+        assert mp_p._cascade_w is not None, "f32 cascade did not engage"
+    _, xla = run("xla")
+    for a, b in zip(pal, xla):
+        _f32_close(a, b)
+
+
+def test_channels_split_cascade_odd_q():
+    """Channels mode with an odd-Q final stage (250 k→48 k, Q=125) runs the
+    channel-batched fused ÷2 front + batched XLA tail (split), matching the
+    all-XLA channels run to ≤1 LSB."""
+    fs2 = 250000
+    n = 2048 * 16 * 4
+    buf = wideband(n)
+
+    def run(impl):
+        specs = [ChannelSpec("x", ConstScheduler(5000.0)),
+                 ChannelSpec("y", ConstScheduler(-3000.0))]
+        mp = MultiChannelPipeline(fs2, "i16", "i16", specs, out_rate=48000,
+                                  chunk_blocks=16, impl=impl,
+                                  pallas_interpret=(impl == "pallas"),
+                                  resample_stages="multi")
+        outs = [io.BytesIO() for _ in specs]
+        mp.run(io.BytesIO(buf), outs)
+        return mp, [o.getvalue() for o in outs]
+
+    mp_p, pal = run("pallas")
+    assert mp_p._cascade_w is not None, "split front did not engage"
+    assert mp_p._cascade_k == 1 < len(mp_p.resampler.stages)
+    _, xla = run("xla")
+    for a, b in zip(pal, xla):
+        lsb_close(a, b)
+
+
+def test_channels_split_cascade_checkpoint_resume_bitwise(tmp_path):
+    from doppler_tpu.runtime import checkpoint
+
+    fs2 = 250000
+    buf = wideband(2048 * 16 * 4)
+    shifts = [-12000.0, 44000.5]
+
+    def mk():
+        specs = [ChannelSpec(f"c{k}", ConstScheduler(s))
+                 for k, s in enumerate(shifts)]
+        return MultiChannelPipeline(fs2, "i16", "i16", specs, out_rate=48000,
+                                    chunk_blocks=16, impl="pallas",
+                                    pallas_interpret=True,
+                                    resample_stages="multi")
+
+    mp = mk()
+    outs = [io.BytesIO() for _ in shifts]
+    mp.run(io.BytesIO(buf), outs)
+    assert mp._cascade_k == 1
+    whole = [o.getvalue() for o in outs]
+
+    half = len(buf) // 2
+    mp1 = mk()
+    o1 = [io.BytesIO() for _ in shifts]
+    mp1.run(io.BytesIO(buf[:half]), o1)
+    ck = str(tmp_path / "ch_split.npz")
+    checkpoint.save_channels(ck, mp1)
+    mp2 = mk()
+    checkpoint.restore_channels(ck, mp2)
+    o2 = [io.BytesIO() for _ in shifts]
+    mp2.run(io.BytesIO(buf[half:]), o2)
+    for c in range(len(shifts)):
+        assert o1[c].getvalue() + o2[c].getvalue() == whole[c]

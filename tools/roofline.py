@@ -188,7 +188,7 @@ def main() -> int:
             make_chain_taps,
             mix_resample_chain_pallas,
         )
-        from doppler_tpu.ops.pallas.mixer import _sincos_q24, _umulhi32
+        from doppler_tpu.ops.pallas.mixer import _sincos_q24, phase_q24
         from doppler_tpu.ops.resample import RationalResampler
         from doppler_tpu.ops.sincos import mix_tone
 
@@ -221,22 +221,9 @@ def main() -> int:
                     w = words_ref[wi]
                     fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
                     fq = (w >> 16).astype(jnp.float32) * scale
-                    d_hi = d_hi_r[k]
-                    d_lo = d_lo_r[k]
-                    jd_lo = j * d_lo
-                    jd_hi = _umulhi32(j, d_lo) + j * d_hi
-
-                    def with_offset(c_hi, c_lo, jd_lo=jd_lo, jd_hi=jd_hi):
-                        lo = jd_lo + c_lo
-                        carry = (lo < jd_lo).astype(jnp.uint32)
-                        return jd_hi + c_hi + carry
-
-                    q32 = jnp.where(
-                        j < t_r[k],
-                        with_offset(c1_hi_r[k], c1_lo_r[k]),
-                        with_offset(c2_hi_r[k], c2_lo_r[k]),
-                    )
-                    q24 = jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
+                    q24 = phase_q24(j, d_hi_r[k], d_lo_r[k],
+                                    c1_hi_r[k], c1_lo_r[k],
+                                    c2_hi_r[k], c2_lo_r[k], t_r[k])
                     c, s_ = _sincos_q24(q24)
                     oi, oq = mix_tone(fi, fq, c, s_)
                     mis.append(oi)
