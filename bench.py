@@ -27,6 +27,7 @@ def main() -> int:
     ap.add_argument(
         "--mode",
         choices=["chain", "chain-pallas", "chain-mesh", "cascade-pallas",
+                 "split-pallas", "split-xla",
                  "mix", "mix-pallas", "channels", "channels-pallas"],
         default="chain-pallas",
         help="default chain-pallas: the BASELINE primary metric (NCO mix + "
@@ -94,6 +95,10 @@ def main() -> int:
     print(f"bench device: {dev}", file=sys.stderr)
 
     fs = 1024000
+    if args.mode.startswith("split"):
+        # odd-Q rate class (BASELINE config 5's own tail): 6.25 Msps → 48 k
+        # factors as ÷16 then 384/3125 — the split-cascade showcase
+        fs = 6_250_000
     L = 8192
     per_stream = args.samples
     if args.mode.startswith("channels"):
@@ -104,7 +109,7 @@ def main() -> int:
         args.channels if args.mode.startswith("channels") else 1
     )
     rs = RationalResampler(fs, 48000)
-    assert N % rs.Q == 0
+    assert args.mode.startswith("split") or N % rs.Q == 0
 
     rng = np.random.default_rng(0xBE)
     words = rng.integers(-(1 << 31), (1 << 31), size=(B, L), dtype=np.int64).astype(
@@ -186,6 +191,110 @@ def main() -> int:
             return out
 
         metric = "mix_cascade_pallas_i16_samples_per_s_chip"
+    elif args.mode in ("split-pallas", "split-xla"):
+        # SPLIT cascade on an odd-Q rate (6.25 Msps → 48 ksps = ÷16 then
+        # 384/3125): fused Pallas ÷16 front emitting f32 planes + the final
+        # rational stage via the XLA banded-matmul conv at 1/16 rate —
+        # vs the all-XLA cascade twin (split-xla), the round-3 fallback
+        # this path replaces (VERDICT r3 next #1 done-criterion: ≥4×).
+        from doppler_tpu.ops.multistage import MultiStageResampler
+        from doppler_tpu.ops.pallas.chain import (
+            carry_rows,
+            make_chain_taps,
+            mix_cascade_pallas_stream,
+        )
+        from doppler_tpu.ops.resample import (
+            conv_stream_geometry,
+            resample_conv_stream,
+        )
+
+        ms = MultiStageResampler(fs, 48000)
+        k = len(ms.stages) - 1               # fused front = integer stages
+        front = ms.stages[:k]
+        fin = ms.stages[-1]
+        assert fin.Q % 2 == 1, "split bench wants an odd-Q final stage"
+        print("split stages: "
+              + " -> ".join(f"{st.P}/{st.Q}(T={st.T})" for st in ms.stages)
+              + f"  (front {k} fused, tail XLA)", file=sys.stderr)
+        stages_cfg = tuple((st.P, st.Q, st.T) for st in front)
+        front_taps = tuple(
+            jax.device_put(jnp.asarray(
+                make_chain_taps(st.bank, st.P, st.Q, pp=st.P)))
+            for st in front
+        )
+        zc = tuple(
+            jnp.zeros((2, carry_rows(st.T), 128), jnp.float32)
+            for st in front
+        )
+        ratio = 1
+        for st in front:
+            ratio *= st.Q
+        n_mid = N // ratio
+        h_f = fin.T - 1
+        m_fin = n_mid * fin.P // fin.Q
+        start0, p0, Kc, PADZ, TAIL = conv_stream_geometry(
+            0, 0, m_fin, n_mid, P=fin.P, Q=fin.Q, T=fin.T)
+        fin_taps = jax.device_put(jnp.asarray(
+            make_taps_matrix(fin.bank, fin.P, fin.Q)))
+
+        def _tail(planes):
+            flat = planes.reshape(2, -1)
+            zeros = jnp.zeros((2, h_f), jnp.float32)
+            x = jnp.concatenate([zeros, flat], axis=-1)
+            yi, yq = resample_conv_stream(
+                x[0], x[1], fin_taps, jnp.int32(start0), jnp.int32(p0),
+                P=fin.P, Q=fin.Q, T=fin.T, K=Kc, M=m_fin,
+                PADZ=PADZ, TAIL=TAIL,
+            )
+            return codec.iq_to_i16_words(yi, yq)
+
+        if args.mode == "split-pallas":
+            interp_split = args.platform == "cpu"
+
+            @jax.jit
+            def step(data, *plan):
+                planes, _ = mix_cascade_pallas_stream(
+                    data, *plan, front_taps, zc, stages=stages_cfg,
+                    intype="i16", outtype="f32", final_dense=True,
+                    interpret=interp_split)
+                return _tail(planes)
+
+            metric = "mix_split_cascade_pallas_i16_samples_per_s_chip"
+        else:
+            # all-XLA cascade twin: mix + per-stage banded conv at each rate
+            front_mats = [
+                jax.device_put(jnp.asarray(
+                    make_taps_matrix(st.bank, st.P, st.Q)))
+                for st in front
+            ]
+            geos = []
+            n_s = N
+            for st in front:
+                m_s = n_s * st.P // st.Q
+                geos.append(conv_stream_geometry(
+                    0, 0, m_s, n_s, P=st.P, Q=st.Q, T=st.T) + (m_s,))
+                n_s = m_s
+
+            @jax.jit
+            def step(data, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t):
+                i, q = codec.i16_words_to_iq(data)
+                i, q = nco.mix_blocks(i, q, d_hi, d_lo, c1_hi, c1_lo,
+                                      c2_hi, c2_lo, t)
+                yi = i.reshape(-1)
+                yq = q.reshape(-1)
+                for st, mat, (s0, pp0, Kx, PZ, TL, m_s) in zip(
+                        front, front_mats, geos):
+                    zeros = jnp.zeros((2, st.T - 1), jnp.float32)
+                    x = jnp.concatenate(
+                        [zeros, jnp.stack([yi, yq])], axis=-1)
+                    yi, yq = resample_conv_stream(
+                        x[0], x[1], mat, jnp.int32(s0), jnp.int32(pp0),
+                        P=st.P, Q=st.Q, T=st.T, K=Kx, M=m_s,
+                        PADZ=PZ, TAIL=TL,
+                    )
+                return _tail(jnp.stack([yi, yq]))
+
+            metric = "mix_split_cascade_xla_i16_samples_per_s_chip"
     elif args.mode == "chain-mesh":
         # Scaling harness (BASELINE "Scaling efficiency" row): the sharded
         # product step — fused Pallas chain per time shard, ppermute

@@ -46,6 +46,7 @@ __all__ = [
     "make_wideband_stream_step",
     "make_chain_stream_step",
     "make_cascade_stream_step",
+    "make_cascade_channels_step",
 ]
 
 
@@ -560,6 +561,97 @@ def make_cascade_stream_step(mesh, *, resampler, taps, stages,
         in_specs=(data_spec,) + (P("channel", "time"),) * 7
         + (P(),) * nstg,
         out_specs=(out_spec,) + (P("time", None, None, None),) * nstg,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_cascade_channels_step(mesh, *, resampler, taps, stages, C,
+                               interpret: bool = False,
+                               intype: str = "i16", outtype: str = "i16",
+                               final_dense: bool = False):
+    """Sharded *channel-batched* fused-cascade step — channels ``--mesh``
+    with a multi-stage resampler over a ``(channel, time)`` mesh (round 4,
+    VERDICT r3 next #5; BASELINE config 5's topology: C channels × time ×
+    cascade).
+
+    The wideband raw chunk is time-sharded and replicated over the channel
+    axis; plans ``(C, B)`` and per-stage carries ``(C, 2, HBR_s, 128)``
+    shard over 'channel'.  Each time shard reconstructs its entering
+    per-stage carries with the same raw-block halo replay as
+    :func:`make_cascade_stream_step` — the left neighbor's last blocks +
+    plan tails ride ``lax.ppermute``, replayed through a channel-batched
+    call of the SAME cascade kernel with zero carries — then runs
+    :func:`~doppler_tpu.ops.pallas.chain.mix_cascade_pallas_channels` on
+    its local blocks.  ``final_dense`` passes the split-cascade front
+    through (``outtype='f32'`` planes out; the caller runs the batched XLA
+    tail on the gathered planes at 1/2^k of the input rate).
+
+    ``step(words, d_hi…t, *carries)`` → ``(out, *per_stage_carries)`` with
+    carries ``(n_time, C, 2, HBR_s, 128)``; row [-1] seeds the next chunk.
+    """
+    from doppler_tpu.ops.pallas.chain import (
+        carry_rows as _cr,
+        mix_cascade_pallas_channels,
+    )
+
+    n_time = mesh.shape["time"]
+    n_chan = mesh.shape.get("channel", 1)
+    if C % n_chan:
+        raise ValueError(f"channels {C} must divide over mesh channel={n_chan}")
+    nstg = len(stages)
+    planar_in = intype != "i16"
+    planar_out = outtype != "i16"
+    in_rate = resampler.in_rate
+    fused = resampler.stages[:nstg]
+    # replay span: zero-history corrupt head of the fused front + deepest
+    # fused stage's carry cone, input-referred, in whole blocks
+    t_front = 1 + sum(
+        (st.T - 1) * (in_rate // st.in_rate) for st in fused)
+    need = 2 * (t_front - 1) + max(
+        _cr(st.T) * 128 * (in_rate // st.in_rate) for st in fused)
+
+    def local(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
+              *carries_in):
+        fields_loc = jnp.stack(
+            [d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t])   # (7, C_loc, B_loc)
+        L = words.shape[-1]
+        r_h = -(-need // L)
+        if n_time > 1:
+            perm = [(k, k + 1) for k in range(n_time - 1)]
+            tail = words[:, -r_h:] if planar_in else words[-r_h:]
+            halo_w = lax.ppermute(tail, "time", perm=perm)
+            halo_f = lax.ppermute(fields_loc[:, :, -r_h:], "time", perm=perm)
+            zeros = tuple(jnp.zeros_like(c) for c in carries_in)
+            _, halo_carries = mix_cascade_pallas_channels(
+                halo_w, halo_f, taps, zeros, stages=stages,
+                interpret=interpret, intype=intype, outtype=outtype,
+                final_dense=final_dense)
+            tidx = lax.axis_index("time")
+            carries = tuple(
+                jnp.where(tidx == 0, cin, hc)
+                for cin, hc in zip(carries_in, halo_carries)
+            )
+        else:
+            carries = tuple(carries_in)
+        out, carries_out = mix_cascade_pallas_channels(
+            words, fields_loc, taps, carries, stages=stages,
+            interpret=interpret, intype=intype, outtype=outtype,
+            final_dense=final_dense)
+        return (out,) + tuple(c[None] for c in carries_out)
+
+    data_spec = P(None, "time", None) if planar_in else P("time", None)
+    out_spec = (
+        P(None, "channel", "time", None) if planar_out
+        else P("channel", "time", None)
+    )
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(data_spec,) + (P("channel", "time"),) * 7
+        + (P("channel", None, None, None),) * nstg,
+        out_specs=(out_spec,)
+        + (P("time", "channel", None, None, None),) * nstg,
         check_vma=False,
     )
     return jax.jit(fn)

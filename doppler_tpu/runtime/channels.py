@@ -155,11 +155,13 @@ class MultiChannelPipeline:
         self._cascade_k = None        # fused-stage count (split point)
 
         # --mesh: channels × time-blocks SPMD (BASELINE config 5 topology).
-        # Bytes must match the unsharded run exactly; unsupported structures
-        # (mixed per-channel rates, multi-stage cascades) fall back.
+        # Bytes must match the unsharded run exactly.  Round 4: mixed
+        # per-channel rates dispatch per rate GROUP, and multi-stage
+        # cascades run the sharded channel-batched fused step.
         self.mesh = mesh
-        self._sharded_mix_step = None
-        self._sharded_rs_step = None
+        self._sharded_steps: dict = {}       # (kind, group) → jitted step
+        self._sharded_casc_cfg: dict = {}    # group → cascade cfg or None
+        self._warned: set = set()
         if mesh is not None:
             C = len(channels)
             n_chan = mesh.shape.get("channel", 1)
@@ -173,19 +175,10 @@ class MultiChannelPipeline:
                     f"chunk_blocks={self.chunk_blocks} must be divisible by "
                     f"mesh time={n_time}"
                 )
-            rs = self.resampler
-            if not self._uniform:
-                log.warning(
-                    "mesh mode: mixed per-channel output rates have no "
-                    "sharded step yet — running unsharded"
-                )
-            elif rs is not None and getattr(rs, "bank", None) is None:
-                log.warning(
-                    "mesh mode: multi-stage resampler has no sharded step "
-                    "yet — running unsharded"
-                )
-            elif rs is not None:
-                n_loc = self.chunk_blocks * self.block_samples // n_time
+            n_loc = self.chunk_blocks * self.block_samples // n_time
+            for _, rs in self._groups:
+                if rs is None or getattr(rs, "bank", None) is None:
+                    continue
                 if rs.T - 1 > n_loc:
                     raise ValueError(
                         f"resampler history ({rs.T - 1}) exceeds one time "
@@ -195,6 +188,11 @@ class MultiChannelPipeline:
                     raise ValueError(
                         "time shard too large for 32-bit phase math"
                     )
+
+    def _warn_once(self, msg: str) -> None:
+        if msg not in self._warned:
+            self._warned.add(msg)
+            log.warning(msg)
 
     def _plan_all(self, counts):
         C = len(self.channels)
@@ -320,83 +318,261 @@ class MultiChannelPipeline:
                 outs[cidx] = to_bytes(flat_out[row])
         return outs
 
+    def _casc_group_cfg(self, g: int, rs):
+        """Cached per-group fused-cascade config for the sharded step:
+        ``(taps, stages_cfg, k, dense)`` or None when the per-shard
+        geometry cannot run the channel-batched cascade kernel."""
+        cfg = self._sharded_casc_cfg.get(g, "unset")
+        if cfg != "unset":
+            return cfg
+        from doppler_tpu.ops.pallas.chain import (
+            carry_rows as _cr,
+            make_chain_taps,
+            pick_cascade_blocks_per_step,
+        )
+
+        B, L = self.chunk_blocks, self.block_samples
+        n_time = self.mesh.shape["time"]
+        cfg = None
+        n = len(rs.stages)
+        if all(128 % st.Q == 0 for st in rs.stages):
+            k = n
+        else:
+            k = 0
+            while (k < n and 128 % rs.stages[k].Q == 0
+                   and rs.stages[k].Q % rs.stages[k].P == 0):
+                k += 1
+        if L % 128 == 0 and B % n_time == 0 and k > 0:
+            dense = k < n
+            try:
+                taps = tuple(
+                    jnp.asarray(make_chain_taps(
+                        st.bank, st.P, st.Q,
+                        pp=(st.P if (i < k - 1 or dense) else None)))
+                    for i, st in enumerate(rs.stages[:k])
+                )
+                shapes = tuple(
+                    (st.P, st.Q, st.T, tp.shape[0], tp.shape[1], tp.shape[2])
+                    for st, tp in zip(rs.stages, taps)
+                )
+                fused = rs.stages[:k]
+                t_front = 1 + sum(
+                    (st.T - 1) * (self.samplerate // st.in_rate)
+                    for st in fused)
+                cone = max(
+                    _cr(st.T) * 128 * (self.samplerate // st.in_rate)
+                    for st in fused)
+                need = 2 * (t_front - 1) + cone
+                b_loc = B // n_time
+                r_h = -(-need // L)
+                ok = (
+                    pick_cascade_blocks_per_step(
+                        b_loc, L, shapes, final_dense=dense) is not None
+                    and r_h <= b_loc
+                    and pick_cascade_blocks_per_step(
+                        r_h, L, shapes, final_dense=dense) is not None
+                )
+                if ok:
+                    stages_cfg = tuple((st.P, st.Q, st.T) for st in fused)
+                    cfg = (taps, stages_cfg, k, dense)
+            except ValueError:
+                cfg = None
+        self._sharded_casc_cfg[g] = cfg
+        return cfg
+
     def _process_chunk_sharded(self, staged, fields, total: int):
         """--mesh device step: channels × time shard_map over the wideband
-        chunk.  Returns per-channel bytes, or None to fall through to the
-        unsharded path (mixed rates, cascades, or — with a resampler — the
-        partial EOF chunk, which runs single-device off the mesh-maintained
-        history so bytes stay identical)."""
+        chunk, dispatched PER RATE GROUP (round 4: mixed per-channel rates
+        and multi-stage cascades now run sharded — VERDICT r3 next #5).
+        Returns per-channel bytes, or None to fall through to the unsharded
+        path (per-shard geometry ineligibility, or — with a resampler —
+        the partial EOF chunk, which runs single-device off the
+        mesh-maintained history so bytes stay identical)."""
         from jax.sharding import NamedSharding, PartitionSpec as Spec
 
         from doppler_tpu.parallel.sharded import (
+            make_cascade_channels_step,
             make_wideband_mix_step,
             make_wideband_stream_step,
             stream_step_alignment,
         )
 
-        if not self._uniform:
-            return None
-        rs = self.resampler
         C = len(self.channels)
         B, L = self.chunk_blocks, self.block_samples
         n_time = self.mesh.shape["time"]
+        n_chan = self.mesh.shape.get("channel", 1)
+        any_rs = any(rs is not None for _, rs in self._groups)
+        if any_rs and total != B * L:
+            return None                      # partial tail → exact fallback
+        for g, (idxs, rs) in enumerate(self._groups):
+            if len(idxs) % n_chan:
+                self._warn_once(
+                    f"mesh mode: group of {len(idxs)} channels does not "
+                    f"divide over mesh channel={n_chan} — running unsharded")
+                return None
+            if rs is not None and getattr(rs, "bank", None) is None:
+                if self._casc_group_cfg(g, rs) is None:
+                    self._warn_once(
+                        "mesh mode: this cascade cannot run the sharded "
+                        "fused step (geometry/impl) — running unsharded")
+                    return None
+
         data_spec = (
             Spec("time", None) if self.intype == "i16"
             else Spec("time", None, None)
         )
+        data = jax.device_put(
+            jnp.asarray(staged), NamedSharding(self.mesh, data_spec)
+        )
+        planar = None
+        if any(rs is not None and getattr(rs, "bank", None) is None
+               for _, rs in self._groups):
+            # cascade groups take the planar Pallas wire layout for f32
+            if self.intype == "f32":
+                planar = jax.device_put(
+                    jnp.asarray(self._stage_planar_from_staged(staged)),
+                    NamedSharding(self.mesh, Spec(None, "time", None)),
+                )
+            else:
+                planar = data
         plan_sh = NamedSharding(self.mesh, Spec("channel", "time"))
-
-        def put_inputs():
-            data = jax.device_put(
-                jnp.asarray(staged), NamedSharding(self.mesh, data_spec)
-            )
-            plans = [jax.device_put(jnp.asarray(a), plan_sh) for a in fields]
-            return data, plans
 
         def to_bytes(row) -> bytes:
             if self.outtype == "i16":
                 return codec.i16_words_to_bytes(row)
             return codec.f32_pairs_to_bytes(row)
 
-        if rs is None:
-            if self._sharded_mix_step is None:
-                self._sharded_mix_step = make_wideband_mix_step(
-                    self.mesh, intype=self.intype, outtype=self.outtype, C=C
+        outs: list[bytes] = [b""] * C
+        for g, (idxs, rs) in enumerate(self._groups):
+            C_g = len(idxs)
+            fg = np.ascontiguousarray(fields[:, idxs, :])
+            plans = [jax.device_put(jnp.asarray(a), plan_sh) for a in fg]
+            if rs is None:
+                step = self._sharded_steps.get(("mix", g))
+                if step is None:
+                    step = make_wideband_mix_step(
+                        self.mesh, intype=self.intype,
+                        outtype=self.outtype, C=C_g)
+                    self._sharded_steps[("mix", g)] = step
+                out = step(data, *plans)
+                if self.outtype == "i16":
+                    flat = np.asarray(out).reshape(C_g, -1)[:, :total]
+                else:
+                    flat = np.asarray(out).reshape(C_g, -1, 2)[:, :total]
+                for row, cidx in enumerate(idxs):
+                    outs[cidx] = to_bytes(flat[row])
+            elif getattr(rs, "bank", None) is not None:
+                step = self._sharded_steps.get(("rs", g))
+                if step is None:
+                    step = make_wideband_stream_step(
+                        self.mesh, intype=self.intype,
+                        outtype=self.outtype, C=C_g, resampler=rs)
+                    self._sharded_steps[("rs", g)] = step
+                rem, off, out_counts = stream_step_alignment(
+                    rs, rs.in_consumed, B * L // n_time, n_time
                 )
-            data, plans = put_inputs()
-            out = self._sharded_mix_step(data, *plans)
-            if self.outtype == "i16":
-                flat = np.asarray(out).reshape(C, -1)[:, :total]
+                hist_sh = NamedSharding(self.mesh, Spec("channel", None))
+                hist_i = jax.device_put(jnp.asarray(rs._hist_i), hist_sh)
+                hist_q = jax.device_put(jnp.asarray(rs._hist_q), hist_sh)
+                out, tail_i, tail_q = step(
+                    data, *plans, hist_i, hist_q,
+                    jnp.asarray(rem), jnp.asarray(off)
+                )
+                rs.m_next += sum(out_counts)
+                rs.in_consumed += total
+                rs._hist_i = tail_i[:, -1]
+                rs._hist_q = tail_q[:, -1]
+                arr = np.asarray(out)         # (C_g, n_time, M_max[, 2])
+                parts = [arr[:, t, :c] for t, c in enumerate(out_counts)]
+                flat = np.concatenate(parts, axis=1)
+                for row, cidx in enumerate(idxs):
+                    outs[cidx] = to_bytes(flat[row])
             else:
-                flat = np.asarray(out).reshape(C, -1, 2)[:, :total]
-            return [to_bytes(flat[c]) for c in range(C)]
-
-        if getattr(rs, "bank", None) is None or total != B * L:
-            return None
-        if self._sharded_rs_step is None:
-            self._sharded_rs_step = make_wideband_stream_step(
-                self.mesh, intype=self.intype, outtype=self.outtype,
-                C=C, resampler=rs,
-            )
-        rem, off, out_counts = stream_step_alignment(
-            rs, rs.in_consumed, B * L // n_time, n_time
-        )
-        hist_sh = NamedSharding(self.mesh, Spec("channel", None))
-        hist_i = jax.device_put(jnp.asarray(rs._hist_i), hist_sh)
-        hist_q = jax.device_put(jnp.asarray(rs._hist_q), hist_sh)
-        data, plans = put_inputs()
-        out, tail_i, tail_q = self._sharded_rs_step(
-            data, *plans, hist_i, hist_q, jnp.asarray(rem), jnp.asarray(off)
-        )
-        rs.m_next += sum(out_counts)
-        rs.in_consumed += total
-        rs._hist_i = tail_i[:, -1]
-        rs._hist_q = tail_q[:, -1]
+                outs_g = self._sharded_cascade_group(
+                    g, rs, idxs, planar, plans, total,
+                    make_cascade_channels_step)
+                for row, cidx in enumerate(idxs):
+                    outs[cidx] = outs_g[row]
         self._chain_carries = None
-        arr = np.asarray(out)                 # (C, n_time, M_max[, 2])
-        parts = [arr[:, k, :c] for k, c in enumerate(out_counts)]
-        flat = np.concatenate(parts, axis=1)
-        return [to_bytes(flat[c]) for c in range(C)]
+        self._cascade_carries = None
+        return outs
+
+    def _stage_planar_from_staged(self, staged):
+        """Interleaved (B, L, 2) f32 staging → planar (2, B, L)."""
+        return np.ascontiguousarray(np.moveaxis(staged, -1, 0))
+
+    def _sharded_cascade_group(self, g, rs, idxs, data, plans, total,
+                               make_step):
+        """One rate group's sharded fused-cascade chunk (full or split)."""
+        from jax.sharding import NamedSharding, PartitionSpec as Spec
+
+        from doppler_tpu.ops.pallas.chain import carry_rows
+
+        taps, stages_cfg, k, dense = self._sharded_casc_cfg[g]
+        C_g = len(idxs)
+        step = self._sharded_steps.get(("casc", g))
+        if step is None:
+            step = make_step(
+                self.mesh, resampler=rs, taps=taps, stages=stages_cfg,
+                C=C_g, interpret=self.pallas_interpret,
+                intype=self.intype,
+                outtype="f32" if dense else self.outtype,
+                final_dense=dense)
+            self._sharded_steps[("casc", g)] = step
+        # reseed carries from each fused stage's batched FIR history —
+        # bitwise-equivalent to chaining device carries (only the last
+        # T−1 samples are read; the zero prefix meets structural taps
+        # zeros), and it keeps the sharded path checkpoint-interoperable
+        carr_sh = NamedSharding(self.mesh, Spec("channel", None, None, None))
+        carries = []
+        for st in rs.stages[:k]:
+            hbr = carry_rows(st.T)
+            h = st.T - 1
+            flat = jnp.zeros((C_g, 2, hbr * 128), jnp.float32)
+            if h > 0:
+                flat = flat.at[:, 0, hbr * 128 - h:].set(
+                    jnp.asarray(st._hist_i))
+                flat = flat.at[:, 1, hbr * 128 - h:].set(
+                    jnp.asarray(st._hist_q))
+            carries.append(jax.device_put(
+                flat.reshape(C_g, 2, hbr, 128), carr_sh))
+        res = step(data, *plans, *carries)
+        out, carries_nt = res[0], res[1:]
+        n_in = total
+        for st, cnt in zip(rs.stages[:k], carries_nt):
+            n_out_s = st.out_count_for(n_in)
+            st.m_next += n_out_s
+            st.in_consumed += n_in
+            h = st.T - 1
+            flat_c = cnt[-1].reshape(C_g, 2, -1)
+            st._hist_i = flat_c[:, 0, -h:]
+            st._hist_q = flat_c[:, 1, -h:]
+            n_in = n_out_s
+        if not dense:
+            host = np.asarray(out)
+            if self.outtype == "i16":
+                host = host.reshape(C_g, -1)[:, :n_in]
+                return [codec.i16_words_to_bytes(host[c])
+                        for c in range(C_g)]
+            from doppler_tpu.runtime import native
+
+            host = host.reshape(2, C_g, -1)
+            return [
+                codec.f32_pairs_to_bytes(native.planar_to_f32_pairs(
+                    host[0, c, :n_in], host[1, c, :n_in]))
+                for c in range(C_g)
+            ]
+        # split: gathered front planes → batched XLA tail at 1/2^k rate
+        planes = out.reshape(2, C_g, -1)
+        yi, yq = planes[0], planes[1]
+        for st in rs.stages[k:]:
+            cap = int(yi.shape[-1])
+            yi, yq, n_in = st.process(yi, yq, n_in, M=st.max_out_for(cap))
+        enc = np.asarray(_encode_kernel(yi, yq, outtype=self.outtype))
+        if self.outtype == "i16":
+            return [codec.i16_words_to_bytes(enc[c, :n_in])
+                    for c in range(C_g)]
+        return [codec.f32_pairs_to_bytes(enc[c, :n_in]) for c in range(C_g)]
 
     def _stage_planar(self, data: bytes):
         """Raw f32 chunk bytes → planar ``(2, B, L)`` planes (the Pallas

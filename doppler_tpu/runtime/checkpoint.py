@@ -17,6 +17,7 @@ single ``.npz`` — trivially portable across hosts for elastic recovery.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 
@@ -25,6 +26,18 @@ from doppler_tpu.ops.phase_plan import NCOState
 __all__ = ["save", "restore", "save_channels", "restore_channels"]
 
 _VERSION = 1
+
+
+def _savez_exact(path, arrays: dict) -> None:
+    """np.savez at the EXACT path: given a filename, np.savez silently
+    appends '.npz' unless it already ends with it, which breaks per-host
+    suffixed paths like ``ck.npz.h0`` — write through a file object
+    instead.  File-like objects pass straight through."""
+    if isinstance(path, (str, bytes, os.PathLike)):
+        with open(path, "wb") as f:
+            np.savez(f, **arrays)
+    else:
+        np.savez(path, **arrays)
 
 
 def _scheduler_state(s) -> dict:
@@ -61,10 +74,7 @@ def save(path: str, pipe) -> None:
         # (ops.multistage) both round-trip; integers become 0-d arrays
         for key, val in pipe.resampler.state_dict().items():
             arrays[f"rs_{key}"] = np.asarray(val)
-    # write through a file object: np.savez(str) appends '.npz' to names
-    # without that extension, breaking per-host paths like ck.npz.h0
-    with open(path, "wb") as f:
-        np.savez(f, **arrays)
+    _savez_exact(path, arrays)
 
 
 def restore(path: str, pipe) -> dict:
@@ -134,8 +144,7 @@ def save_channels(path: str, mpipe) -> None:
             continue
         for key, val in rs.state_dict().items():
             arrays[f"g{g}_{key}"] = np.asarray(val)
-    with open(path, "wb") as f:
-        np.savez(f, **arrays)
+    _savez_exact(path, arrays)
 
 
 def restore_channels(path: str, mpipe) -> dict:

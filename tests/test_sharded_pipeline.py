@@ -353,3 +353,69 @@ def test_mesh_pallas_cascade_f32(devices_ok):
     b, pipe = run(make_mesh(time=4, channel=1))
     assert pipe._sharded_cascade_step is not None
     assert a == b and len(a) > 0
+
+
+def test_mesh_channels_cascade_and_split(devices_ok):
+    """Round 4 (VERDICT r3 next #5): channels --mesh with a multi-stage
+    cascade runs the sharded channel-batched fused step — fully fused
+    (1.024M→48k) and SPLIT (250k→48k, odd-Q tail) — byte-identical to the
+    unsharded run, with no fallback warning."""
+    import logging
+
+    def specs():
+        return [
+            ChannelSpec(name=f"ch{k}",
+                        scheduler=ConstScheduler(-30000.0 + 8000 * k))
+            for k in range(4)
+        ]
+
+    for fs in (1024000, 250000):
+        raw = i16_stream(2048 * 16 * 2)
+
+        def run(mesh, caplog_records=None):
+            mp = MultiChannelPipeline(fs, "i16", "i16", specs(),
+                                      out_rate=48000, chunk_blocks=16,
+                                      mesh=mesh, impl="pallas",
+                                      pallas_interpret=True,
+                                      resample_stages="multi")
+            outs = [io.BytesIO() for _ in range(4)]
+            mp.run(io.BytesIO(raw), outs)
+            return mp, [o.getvalue() for o in outs]
+
+        _, a = run(None)
+        mp, b = run(make_mesh(time=2, channel=2))
+        assert a == b and all(len(x) > 0 for x in a), f"fs={fs}"
+        assert not mp._warned, mp._warned
+        assert ("casc", 0) in mp._sharded_steps, "sharded cascade not used"
+
+
+def test_mesh_channels_mixed_rates(devices_ok):
+    """Round 4: mixed per-channel output rates dispatch per rate group on
+    the mesh (each group's channels divide the channel axis), bytes equal
+    to the unsharded run, no fallback warning."""
+    raw = i16_stream(2048 * 16 * 2 + 3000)
+
+    def specs():
+        return [
+            ChannelSpec(name="a", scheduler=ConstScheduler(-30000.0),
+                        out_rate=48000.0),
+            ChannelSpec(name="b", scheduler=ConstScheduler(12000.0),
+                        out_rate=48000.0),
+            ChannelSpec(name="c", scheduler=ConstScheduler(50000.0),
+                        out_rate=32000.0),
+            ChannelSpec(name="d", scheduler=ConstScheduler(-4000.0),
+                        out_rate=32000.0),
+        ]
+
+    def run(mesh):
+        mp = MultiChannelPipeline(FS, "i16", "i16", specs(),
+                                  chunk_blocks=16, mesh=mesh)
+        outs = [io.BytesIO() for _ in range(4)]
+        mp.run(io.BytesIO(raw), outs)
+        return mp, [o.getvalue() for o in outs]
+
+    _, a = run(None)
+    mp, b = run(make_mesh(time=2, channel=2))
+    assert a == b and all(len(x) > 0 for x in a)
+    assert not mp._warned, mp._warned
+    assert ("rs", 0) in mp._sharded_steps and ("rs", 1) in mp._sharded_steps
