@@ -274,15 +274,18 @@ def _pick_group_cols(A: int, CC: int) -> int:
 
 
 def _pick_chain_blocks_per_step(B: int, L: int, T: int, CC: int) -> int:
-    """W dividing B targeting a (128, 128)@(128, 128) matmul shape:
-    A = W·L/128 output groups with D = 128/CC groups per LHS row wants
-    A = 64·D (M = 2A/D = 128 rows).  Bounded by 4 MB of input per grid
-    step, and W·L/128 ≥ carry rows (the step must produce its own FIR
-    history)."""
+    """W dividing B sized for step efficiency: A = W·L/128 input rows
+    targets 256·D (matmul M = 2A/D = 512).  An interleaved TPU A/B at the
+    config-3 bench shape measured W∈{8,16,32} within ±1% (best-of 9.91 /
+    9.99 / 10.03 GS/s) with W=64 collapsing on VMEM pressure — W=32's
+    bigger DMA transfers are marginally ahead and never worse.  Capped at
+    A ≤ 2048 rows (~2 MB/plane of live buffers fits scoped VMEM) and
+    floored so the step spans the carry rows (the step must produce its
+    own FIR history)."""
     sl = L // 128
     d_ideal = max(1, 128 // CC)
-    w_target = max(1, (64 * d_ideal) // sl)
-    cap = max(1, (4 << 20) // (L * 4))
+    w_target = max(1, (256 * d_ideal) // sl)
+    cap = max(1, (2048 * 128) // L)
     w = min(w_target, B, cap)
     while w > 1 and (B % w or (w * L) // 128 < carry_rows(T)):
         w -= 1
