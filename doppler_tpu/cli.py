@@ -443,14 +443,23 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         from doppler_tpu.runtime import checkpoint
 
         if args.load_state:
+            # per-host checkpoint under --distributed (host-local channel
+            # slice), like the stream arm's PATH.hK convention
+            ck_path = args.load_state
+            if dist_nproc > 1:
+                ck_path = f"{args.load_state}.h{dist_pid}"
             try:
-                cmeta = checkpoint.restore_channels(args.load_state, mpipe)
+                cmeta = checkpoint.restore_channels(ck_path, mpipe)
             except (ValueError, OSError) as e:
                 log.error("%s", e)
                 return 1
+            resume_byte = cmeta["samples_in"] * stream_bps(args.intype)
+            if args.input:
+                # seekable capture: fast-forward to the checkpoint so the
+                # operator doesn't have to pre-trim the stream
+                stdin.seek(resume_byte)
             log.info("resumed at input sample %d (byte %d)",
-                     cmeta["samples_in"],
-                     cmeta["samples_in"] * stream_bps(args.intype))
+                     cmeta["samples_in"], resume_byte)
 
         stop_flag = {"stop": False}
         if args.save_state:
@@ -481,8 +490,11 @@ def main(argv=None, stdin=None, stdout=None) -> int:
             for w in writers:
                 w.close()
         if args.save_state:
-            checkpoint.save_channels(args.save_state, mpipe)
-            log.info("checkpoint written to %s", args.save_state)
+            ck_path = args.save_state
+            if dist_nproc > 1:
+                ck_path = f"{args.save_state}.h{dist_pid}"
+            checkpoint.save_channels(ck_path, mpipe)
+            log.info("checkpoint written to %s", ck_path)
         if stop_flag["stop"]:
             log.warning("stopped by signal after a consistent chunk boundary")
             return 130

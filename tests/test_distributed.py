@@ -331,6 +331,75 @@ def test_two_process_elastic_checkpoint_restart(tmp_path):
     assert got == single.read_bytes() and len(got) > 0
 
 
+def test_two_process_channels_elastic_checkpoint(tmp_path):
+    """Channels-mode elastic recovery: two channel-parallel hosts with
+    per-host --save-state, host 0 SIGTERMed mid-stream, both relaunched
+    with --load-state (the CLI seeks the --input capture to each host's
+    checkpoint byte); per-channel outputs equal the single-process run."""
+    import json
+    import signal as _signal
+    import time as _time
+
+    raw = i16_stream(2048 * 16 * 20)
+    inp = tmp_path / "in.iq"
+    inp.write_bytes(raw)
+    cfg = {"channels": [
+        {"name": "c0", "shift": -15000.0},
+        {"name": "c1", "shift": 20000.0},
+    ]}
+    cfg_path = tmp_path / "ch.json"
+    cfg_path.write_text(json.dumps(cfg))
+    ck = tmp_path / "ck.npz"
+    outdir = tmp_path / "out"
+    base = ["channels", "--config", str(cfg_path), "-s", str(FS),
+            "-i", "i16", "--resample-to", "48000", "--chunk-blocks", "16",
+            "--platform", "cpu", "--input", str(inp),
+            "--output-dir", str(outdir)]
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    ref_dir = tmp_path / "ref"
+    p = _spawn_cli(base[:-1] + [str(ref_dir)], env)
+    _, err = p.communicate(timeout=420)
+    assert p.returncode == 0, err.decode()[-3000:]
+
+    def spawn_round(extra):
+        port = _free_port()
+        return [
+            _spawn_cli(base + extra + [
+                "--distributed",
+                f"coordinator=127.0.0.1:{port},num_processes=2,"
+                f"process_id={pid}"], env)
+            for pid in range(2)
+        ]
+
+    procs = spawn_round(["--save-state", str(ck)])
+    part0 = outdir / "c0.iq"          # host 0 owns channel c0
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        if part0.exists() and part0.stat().st_size > 0:
+            break
+        if procs[0].poll() is not None:
+            break
+        _time.sleep(0.05)
+    if procs[0].poll() is None:
+        procs[0].send_signal(_signal.SIGTERM)
+    outs = [p.communicate(timeout=420) for p in procs]
+    assert procs[0].returncode in (0, 130), outs[0][1].decode()[-3000:]
+    assert procs[1].returncode == 0, outs[1][1].decode()[-3000:]
+    assert (tmp_path / "ck.npz.h0").exists()
+
+    procs = spawn_round(["--load-state", str(ck)])
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (_, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    for name in ("c0", "c1"):
+        a = (ref_dir / f"{name}.iq").read_bytes()
+        b = (outdir / f"{name}.iq").read_bytes()
+        assert a == b and len(a) > 0, name
+
+
 def test_two_process_channels_split(tmp_path):
     """Channels mode: hosts split the channel axis (zero communication);
     the union of per-channel files equals the single-process run."""
