@@ -687,9 +687,13 @@ def main(argv=None, stdin=None, stdout=None) -> int:
     if stop_flag["stop"]:
         log.warning("stopped by signal after a consistent chunk boundary")
         return 130
+    # report the INPUT rate (the reference's realtime contract is on the
+    # capture rate; with a resampler the output count is P/Q of it)
+    n_in = counters.bytes_in // stream_bps(args.intype)
+    dt = counters.elapsed()
     log.info(
-        "done: %d samples in %.3f s (%.3f Msps)",
-        counters.samples, counters.elapsed(), counters.rate() / 1e6,
+        "done: %d samples in, %d out in %.3f s (%.3f Msps in)",
+        n_in, counters.samples, dt, (n_in / dt if dt > 0 else 0.0) / 1e6,
     )
     return 0
 
