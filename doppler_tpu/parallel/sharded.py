@@ -483,7 +483,8 @@ def make_chain_stream_step(mesh, *, resampler, interpret: bool = False,
 
 def make_cascade_stream_step(mesh, *, resampler, taps, stages,
                              interpret: bool = False,
-                             intype: str = "i16", outtype: str = "i16"):
+                             intype: str = "i16", outtype: str = "i16",
+                             final_dense: bool = False):
     """Sharded *fused-cascade* step — ``--mesh`` + ``--impl pallas`` with a
     multi-stage resampler (round 3; closes the "no sharded step yet"
     fallback of VERDICT r2 #7).
@@ -515,12 +516,17 @@ def make_cascade_stream_step(mesh, *, resampler, taps, stages,
     nstg = len(stages)
     planar_in = intype != "i16"
     planar_out = outtype != "i16"
-    # replay span: zero-history corrupt head + deepest stage's carry cone
-    # (input-referred), in whole blocks — 1 at the reference L=8192/i16,
-    # more for small blocks (f32's L=1024)
+    # replay span: zero-history corrupt head + deepest FUSED stage's carry
+    # cone (input-referred), in whole blocks — 1 at the reference
+    # L=8192/i16, more for small blocks (f32's L=1024).  With
+    # ``final_dense`` (split cascade) only the fused front's stages carry
+    # state here; the XLA tail keeps its own host-side history.
     in_rate = resampler.in_rate
-    need = 2 * (resampler.T - 1) + max(
-        _cr(st.T) * 128 * (in_rate // st.in_rate) for st in resampler.stages
+    fused = resampler.stages[:nstg]
+    t_front = 1 + sum(
+        (st.T - 1) * (in_rate // st.in_rate) for st in fused)
+    need = 2 * (t_front - 1) + max(
+        _cr(st.T) * 128 * (in_rate // st.in_rate) for st in fused
     )
 
     def local(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t, *carries_in):
@@ -538,7 +544,7 @@ def make_cascade_stream_step(mesh, *, resampler, taps, stages,
             _, halo_carries = mix_cascade_pallas_stream(
                 halo_w, *halo_p, taps, zeros, stages=stages,
                 interpret=interpret,
-                intype=intype, outtype=outtype,
+                intype=intype, outtype=outtype, final_dense=final_dense,
             )
             tidx = lax.axis_index("time")
             carries = tuple(
@@ -550,6 +556,7 @@ def make_cascade_stream_step(mesh, *, resampler, taps, stages,
         out, carries_out = mix_cascade_pallas_stream(
             words, *plans, taps, carries, stages=stages,
             interpret=interpret, intype=intype, outtype=outtype,
+            final_dense=final_dense,
         )
         return (out,) + tuple(c[None] for c in carries_out)
 

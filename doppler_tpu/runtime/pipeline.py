@@ -281,8 +281,11 @@ class Pipeline:
         """May ``--mesh`` chunks run the sharded fused cascade step?
 
         Per-shard geometry must validate at B/n_time blocks, and one block
-        must cover every stage's carry cone past the zero-history corrupt
-        head (the halo-replay bound shared with :meth:`_seek_cascade`).
+        must cover every fused stage's carry cone past the zero-history
+        corrupt head (the halo-replay bound shared with
+        :meth:`_seek_cascade`).  Round 4: odd-Q final stages run their
+        fused ÷2^k front sharded too (split — final_dense planes out, the
+        XLA tail consumes the gathered planes at 1/2^k rate).
         """
         rs = self.resampler
         if (self.mesh is None or rs is None or self.impl != "pallas"
@@ -298,34 +301,51 @@ class Pipeline:
             ok = False
             L = self.block_samples
             n_time = self.mesh.shape["time"]
+            n = len(rs.stages)
+            if all(128 % st.Q == 0 for st in rs.stages):
+                k = n
+            else:
+                k = 0
+                while (k < n and 128 % rs.stages[k].Q == 0
+                       and rs.stages[k].Q % rs.stages[k].P == 0):
+                    k += 1
             if (L % 128 == 0 and self.chunk_blocks % n_time == 0
-                    and all(128 % st.Q == 0 for st in rs.stages)):
+                    and k > 0):
+                dense = k < n
                 try:
-                    n = len(rs.stages)
                     shapes = []
-                    for i, st in enumerate(rs.stages):
-                        pp = st.P if i < n - 1 else max(8, st.P)
+                    for i, st in enumerate(rs.stages[:k]):
+                        inner = i < k - 1 or dense
+                        pp = st.P if inner else max(8, st.P)
                         tp = make_chain_taps(
                             st.bank, st.P, st.Q,
-                            pp=(st.P if i < n - 1 else None))
+                            pp=(st.P if inner else None))
                         shapes.append(
                             (st.P, st.Q, st.T, tp.shape[0], tp.shape[1], pp))
+                    fused = rs.stages[:k]
+                    t_front = 1 + sum(
+                        (st.T - 1) * (self.samplerate // st.in_rate)
+                        for st in fused)
                     cone = max(
                         _cr(st.T) * 128 * (self.samplerate // st.in_rate)
-                        for st in rs.stages
+                        for st in fused
                     )
-                    need = 2 * (rs.T - 1) + cone
+                    need = 2 * (t_front - 1) + cone
                     b_loc = self.chunk_blocks // n_time
                     r_h = -(-need // L)
                     ok = (
-                        pick_cascade_blocks_per_step(b_loc, L, tuple(shapes))
+                        pick_cascade_blocks_per_step(
+                            b_loc, L, tuple(shapes), final_dense=dense)
                         is not None
                         # each shard donates r_h replay blocks and the
                         # replay itself must have a valid step geometry
                         and r_h <= b_loc
                         and pick_cascade_blocks_per_step(
-                            r_h, L, tuple(shapes)) is not None
+                            r_h, L, tuple(shapes), final_dense=dense)
+                        is not None
                     )
+                    if ok:
+                        self._cascade_k = k
                 except ValueError:
                     ok = False
             self._cascade_mesh_ok_c = ok
@@ -965,16 +985,21 @@ class Pipeline:
             return (out, n_out, self.outtype == "f32")
 
         if cascade_ok:
-            # sharded fused cascade: per-stage halo-block replay (round 3)
+            # sharded fused cascade: per-stage halo-block replay (round 3;
+            # round 4 adds the SPLIT form — sharded ÷2^k front, XLA tail)
             from doppler_tpu.parallel.sharded import make_cascade_stream_step
 
             self._ensure_cascade_state()
+            k = len(self._cascade_stages)
+            split = k < len(rs.stages)
             if self._sharded_cascade_step is None:
                 self._sharded_cascade_step = make_cascade_stream_step(
                     self.mesh, resampler=rs, taps=self._cascade_taps,
                     stages=self._cascade_stages,
                     interpret=self.pallas_interpret,
-                    intype=self.intype, outtype=self.outtype,
+                    intype=self.intype,
+                    outtype="f32" if split else self.outtype,
+                    final_dense=split,
                 )
             repl = NamedSharding(self.mesh, Spec())
             carries = [jax.device_put(jnp.asarray(c), repl)
@@ -982,8 +1007,17 @@ class Pipeline:
             out, *carries_nt = self._sharded_cascade_step(
                 data, *plans, *carries)
             self._cascade_carries = tuple(c[-1] for c in carries_nt)
-            n_out = self._advance_cascade_state(total, self._cascade_carries)
-            return (out, n_out, self.outtype == "f32")
+            n_mid = self._advance_cascade_state(total, self._cascade_carries)
+            if not split:
+                return (out, n_mid, self.outtype == "f32")
+            planes = out.reshape(2, -1)
+            yi, yq, n_out = planes[0], planes[1], n_mid
+            for st in rs.stages[k:]:
+                cap = int(yi.shape[-1])
+                yi, yq, n_out = st.process(yi, yq, n_out,
+                                           M=st.max_out_for(cap))
+            enc = _encode_kernel(yi, yq, outtype=self.outtype)
+            return (enc, n_out, False)
 
         if getattr(rs, "bank", None) is not None and total == B * L:
             if self._sharded_rs_step is None:

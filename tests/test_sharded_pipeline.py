@@ -425,3 +425,37 @@ def test_mesh_channels_mixed_rates(devices_ok):
     assert a == b and all(len(x) > 0 for x in a)
     assert not mp._warned, mp._warned
     assert ("rs", 0) in mp._sharded_steps and ("rs", 1) in mp._sharded_steps
+
+
+def test_mesh_pallas_split_cascade(devices_ok):
+    """Round 4: single-stream --mesh with an odd-Q cascade runs the fused
+    ÷2^k front SHARDED (final_dense planes + halo replay) with the XLA
+    tail on the gathered planes — matching the unsharded run within the
+    1-LSB program-shape tolerance (the per-shard front is a differently
+    shaped interpret-mode program than the unsharded front; the fused
+    i16 paths pin byte equality, f32 planes carry the 1-ulp wobble into
+    the tail).  Lengths exact; the sharded step must engage."""
+    for fs in (250000, 6250000):
+        def mk(mesh):
+            pipe = Pipeline(fs, "i16", "i16", ConstScheduler(5000.0),
+                            chunk_blocks=16, impl="pallas",
+                            pallas_interpret=True, mesh=mesh)
+            attach_resampler(pipe, 48000, stages="multi")
+            return pipe
+
+        raw = np.random.default_rng(fs).integers(
+            -9000, 9000, size=2 * 2048 * 33, dtype=np.int16
+        ).astype("<i2").tobytes()
+        ao = io.BytesIO()
+        mk(None).run(io.BytesIO(raw), ao)
+        pm = mk(make_mesh(time=4, channel=1))
+        assert pm._cascade_mesh_ok(), f"mesh split not eligible fs={fs}"
+        assert pm._cascade_k < len(pm.resampler.stages)
+        bo = io.BytesIO()
+        pm.run(io.BytesIO(raw), bo)
+        assert pm._sharded_cascade_step is not None, "sharded step unused"
+        xa = np.frombuffer(ao.getvalue(), "<i2").astype(np.int32)
+        xb = np.frombuffer(bo.getvalue(), "<i2").astype(np.int32)
+        assert xa.size == xb.size and xa.size > 0
+        d = np.abs(xa - xb)
+        assert d.max() <= 1 and np.mean(d > 0) < 0.001, f"fs={fs}"
