@@ -411,7 +411,10 @@ class MultiChannelPipeline:
                     f"divide over mesh channel={n_chan} — running unsharded")
                 return None
             if rs is not None and getattr(rs, "bank", None) is None:
-                if self._casc_group_cfg(g, rs) is None:
+                # the sharded cascade step IS the Pallas kernel — XLA-impl
+                # runs keep the unsharded XLA cascade (exact program match)
+                if (self.impl != "pallas"
+                        or self._casc_group_cfg(g, rs) is None):
                     self._warn_once(
                         "mesh mode: this cascade cannot run the sharded "
                         "fused step (geometry/impl) — running unsharded")
