@@ -510,12 +510,17 @@ def make_cascade_stream_step(mesh, *, resampler, taps, stages,
     from doppler_tpu.ops.pallas.chain import (
         carry_rows as _cr,
         mix_cascade_pallas_stream,
+        pick_cascade_blocks_per_step,
     )
 
     n_time = mesh.shape["time"]
     nstg = len(stages)
     planar_in = intype != "i16"
     planar_out = outtype != "i16"
+    stage_shapes = tuple(
+        (P, Q, T, taps[i].shape[0], taps[i].shape[1], taps[i].shape[2])
+        for i, (P, Q, T) in enumerate(stages)
+    )
     # replay span: zero-history corrupt head + deepest FUSED stage's carry
     # cone (input-referred), in whole blocks — 1 at the reference
     # L=8192/i16, more for small blocks (f32's L=1024).  With
@@ -533,7 +538,16 @@ def make_cascade_stream_step(mesh, *, resampler, taps, stages,
         plans = (d_hi[0], d_lo[0], c1_hi[0], c1_lo[0],
                  c2_hi[0], c2_lo[0], t[0])
         L = words.shape[-1]
+        b_loc = words.shape[1] if planar_in else words.shape[0]
+        # widen the replay span past the cone until the step geometry
+        # validates (large stage factors need A divisible by D, which can
+        # take more rows than the cone itself — e.g. ÷16 stages at the
+        # config-5 rate); extra REAL blocks only add correct history, so
+        # the carries stay bitwise
         r_h = -(-need // L)
+        while (r_h <= b_loc and pick_cascade_blocks_per_step(
+                r_h, L, stage_shapes, final_dense=final_dense) is None):
+            r_h += 1
         if n_time > 1:
             perm = [(k, k + 1) for k in range(n_time - 1)]
             tail = words[:, -r_h:] if planar_in else words[-r_h:]
@@ -600,6 +614,7 @@ def make_cascade_channels_step(mesh, *, resampler, taps, stages, C,
     from doppler_tpu.ops.pallas.chain import (
         carry_rows as _cr,
         mix_cascade_pallas_channels,
+        pick_cascade_blocks_per_step,
     )
 
     n_time = mesh.shape["time"]
@@ -618,12 +633,23 @@ def make_cascade_channels_step(mesh, *, resampler, taps, stages, C,
     need = 2 * (t_front - 1) + max(
         _cr(st.T) * 128 * (in_rate // st.in_rate) for st in fused)
 
+    stage_shapes = tuple(
+        (P, Q, T, taps[i].shape[0], taps[i].shape[1], taps[i].shape[2])
+        for i, (P, Q, T) in enumerate(stages)
+    )
+
     def local(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
               *carries_in):
         fields_loc = jnp.stack(
             [d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t])   # (7, C_loc, B_loc)
         L = words.shape[-1]
+        b_loc = words.shape[1] if planar_in else words.shape[0]
+        # widen the replay span until the step geometry validates (see
+        # make_cascade_stream_step — extra real blocks stay bitwise)
         r_h = -(-need // L)
+        while (r_h <= b_loc and pick_cascade_blocks_per_step(
+                r_h, L, stage_shapes, final_dense=final_dense) is None):
+            r_h += 1
         if n_time > 1:
             perm = [(k, k + 1) for k in range(n_time - 1)]
             tail = words[:, -r_h:] if planar_in else words[-r_h:]

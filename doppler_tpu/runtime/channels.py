@@ -364,13 +364,16 @@ class MultiChannelPipeline:
                     for st in fused)
                 need = 2 * (t_front - 1) + cone
                 b_loc = B // n_time
+                # replay span widened until the step geometry validates
+                # (matches make_cascade_channels_step's own search)
                 r_h = -(-need // L)
+                while (r_h <= b_loc and pick_cascade_blocks_per_step(
+                        r_h, L, shapes, final_dense=dense) is None):
+                    r_h += 1
                 ok = (
                     pick_cascade_blocks_per_step(
                         b_loc, L, shapes, final_dense=dense) is not None
                     and r_h <= b_loc
-                    and pick_cascade_blocks_per_step(
-                        r_h, L, shapes, final_dense=dense) is not None
                 )
                 if ok:
                     stages_cfg = tuple((st.P, st.Q, st.T) for st in fused)

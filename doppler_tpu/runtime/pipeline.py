@@ -332,17 +332,19 @@ class Pipeline:
                     )
                     need = 2 * (t_front - 1) + cone
                     b_loc = self.chunk_blocks // n_time
+                    # replay span: the cone in whole blocks, widened until
+                    # the step geometry validates (extra real blocks stay
+                    # bitwise; the step does the same search)
                     r_h = -(-need // L)
+                    while (r_h <= b_loc and pick_cascade_blocks_per_step(
+                            r_h, L, tuple(shapes), final_dense=dense)
+                            is None):
+                        r_h += 1
                     ok = (
                         pick_cascade_blocks_per_step(
                             b_loc, L, tuple(shapes), final_dense=dense)
                         is not None
-                        # each shard donates r_h replay blocks and the
-                        # replay itself must have a valid step geometry
                         and r_h <= b_loc
-                        and pick_cascade_blocks_per_step(
-                            r_h, L, tuple(shapes), final_dense=dense)
-                        is not None
                     )
                     if ok:
                         self._cascade_k = k

@@ -459,3 +459,37 @@ def test_mesh_pallas_split_cascade(devices_ok):
         assert xa.size == xb.size and xa.size > 0
         d = np.abs(xa - xb)
         assert d.max() <= 1 and np.mean(d > 0) < 0.001, f"fs={fs}"
+
+
+def test_mesh_config5_literal_rate_sharded(devices_ok):
+    """BASELINE config 5's literal rate (100 Msps → 48 ksps: ÷16, ÷16,
+    then 384/3125): the sharded channel-batched SPLIT cascade must engage
+    (round 4: the halo-replay span widens past the carry cone until the
+    ÷16 stages' D-divisibility validates), ≤1 LSB vs unsharded."""
+    fs = 100_000_000
+    raw = np.random.default_rng(5).integers(
+        -9000, 9000, size=2 * 2048 * 64, dtype=np.int16
+    ).astype("<i2").tobytes()
+
+    def run(mesh):
+        specs = [ChannelSpec(name=f"c{k}",
+                             scheduler=ConstScheduler(1e6 * (k - 1.5)))
+                 for k in range(4)]
+        mp = MultiChannelPipeline(fs, "i16", "i16", specs, out_rate=48000,
+                                  chunk_blocks=32, impl="pallas",
+                                  pallas_interpret=True, mesh=mesh,
+                                  resample_stages="multi")
+        outs = [io.BytesIO() for _ in specs]
+        mp.run(io.BytesIO(raw), outs)
+        return mp, [o.getvalue() for o in outs]
+
+    mp, a = run(None)
+    assert [(st.P, st.Q) for st in mp.resampler.stages] == [
+        (1, 16), (1, 16), (384, 3125)]
+    m, b = run(make_mesh(time=2, channel=2))
+    assert ("casc", 0) in m._sharded_steps and not m._warned
+    for x, y in zip(a, b):
+        xa = np.frombuffer(x, "<i2").astype(np.int32)
+        xb = np.frombuffer(y, "<i2").astype(np.int32)
+        assert xa.size == xb.size and xa.size > 0
+        assert np.abs(xa - xb).max() <= 1
