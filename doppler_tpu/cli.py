@@ -623,10 +623,19 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                      dist_pid, meta["sample_offset"])
         else:
             history = None
-            if lo > 0 and pipe.resampler is not None:
+            n_hist = (pipe.seek_history_blocks()
+                      if pipe.resampler is not None else 0)
+            if lo > 0 and n_hist:
+                hist_bytes = n_hist * args.block_bytes
+                if hist_bytes > lo:
+                    log.error(
+                        "host %d needs %d history blocks before byte %d "
+                        "but the capture is shorter there", dist_pid,
+                        n_hist, lo)
+                    return 1
                 with open(args.input, "rb") as hf:
-                    hf.seek(lo - args.block_bytes)
-                    history = hf.read(args.block_bytes)
+                    hf.seek(lo - hist_bytes)
+                    history = hf.read(hist_bytes)
             try:
                 pipe.seek_to_block(shard.block_lo * chunk_blocks,
                                    history=history)

@@ -442,6 +442,30 @@ class Pipeline:
 
     # -- multi-host seek -----------------------------------------------------
 
+    def seek_history_blocks(self) -> int:
+        """Raw capture blocks :meth:`seek_to_block` needs as ``history``
+        (read them from just before the seek point).  1 for single-stage
+        resamplers; for cascades, enough blocks to cover the replay's
+        corrupt head + carry cone (heavy rates — e.g. config 5's
+        100 Msps → 48 ksps — need several reference blocks)."""
+        rs = self.resampler
+        if rs is None or rs.T <= 1:
+            return 0
+        if getattr(rs, "bank", None) is not None:
+            return 1
+        L = self.block_samples
+        if self._cascade_eligible(self.chunk_blocks * L):
+            from doppler_tpu.ops.pallas.chain import carry_rows as _cr
+
+            kf = self._cascade_k
+            cone = max(
+                (_cr(st.T) * 128 if i < kf else st.T - 1)
+                * (self.samplerate // st.in_rate)
+                for i, st in enumerate(rs.stages)
+            )
+            return -(-(2 * (rs.T - 1) + cone) // L)
+        return -(-(2 * (rs.T - 1)) // L)
+
     def seek_to_block(self, n_blocks: int, history: bytes | None = None) -> None:
         """Fast-forward a FRESH pipeline to block ``n_blocks`` without
         processing the prefix — the multi-host "distribute = seek" primitive
@@ -450,51 +474,63 @@ class Pipeline:
         Replays the scheduler and the exact NCO-counter emulation over the
         skipped prefix (O(blocks) host work, zero device work, zero
         communication), seeds the resampler's stream counters from
-        absolute-index arithmetic, and reconstructs its T−1-sample FIR
-        history by mixing ``history`` — the raw bytes of block
-        ``n_blocks − 1``, read straight from the shared capture — through
-        the same per-block kernel the stream path uses.  A host seeded this
-        way emits exactly the bytes the single-process run emits from that
-        offset (tests/test_distributed.py pins this bitwise).
+        absolute-index arithmetic, and reconstructs its FIR history by
+        mixing ``history`` — the raw bytes of the
+        :meth:`seek_history_blocks` blocks ending at ``n_blocks``, read
+        straight from the shared capture — through the same per-block
+        kernels the stream path uses.  A host seeded this way emits
+        exactly the bytes the single-process run emits from that offset
+        (tests/test_distributed.py pins this bitwise).
         """
         if n_blocks < 0:
             raise ValueError("n_blocks must be >= 0")
         if self._sample_offset:
             raise ValueError("seek_to_block needs a fresh pipeline")
         L = self.block_samples
-        last_plan = None
+        k_h = 0 if history is None else len(history) // self.block_bytes
+        # rolling per-block plan tail for the history replay (each history
+        # block needs its OWN plan constants)
+        tail_fields = None
         done = 0
         while done < n_blocks:
             n = min(self.chunk_blocks, n_blocks - done)
             counts = [L] * n
             shifts = list(self.scheduler.shifts(counts))
-            last_plan = plan_blocks(
+            plan = plan_blocks(
                 shifts, counts, self.samplerate, self.nco_state, L,
                 quantize_f32=self.quantize_ratio_f32,
                 reset_quirk=self.reset_quirk,
             )
+            if k_h:
+                fields = np.stack([
+                    np.asarray(getattr(plan, f)) for f in
+                    ("d_hi", "d_lo", "c1_hi", "c1_lo", "c2_hi", "c2_lo", "t")
+                ])
+                tail_fields = (
+                    fields if tail_fields is None
+                    else np.concatenate([tail_fields, fields], axis=1)
+                )[:, -k_h:]
             done += n
         self._sample_offset = n_blocks * L
         rs = self.resampler
         if rs is None:
             return
         if getattr(rs, "bank", None) is None:
-            self._seek_cascade(n_blocks, history, last_plan)
+            self._seek_cascade(n_blocks, history, tail_fields)
             return
         s_lo = n_blocks * L
         rs.in_consumed = s_lo
         rs.m_next = -(-s_lo * rs.P // rs.Q)
         if rs.T <= 1 or n_blocks == 0:
             return
-        if history is None or len(history) != self.block_bytes:
+        if history is None or len(history) < self.block_bytes:
             raise ValueError(
                 "seek with a resampler needs the raw bytes of the "
                 "preceding full block as history"
             )
-        pa = [
-            np.asarray(getattr(last_plan, f))[-1:]
-            for f in ("d_hi", "d_lo", "c1_hi", "c1_lo", "c2_hi", "c2_lo", "t")
-        ]
+        # the single-stage path needs exactly one block — keep the last
+        history = history[-self.block_bytes:]
+        pa = [tail_fields[fi, -1:] for fi in range(7)]
         h = rs.T - 1
         if self._chain_eligible(self.chunk_blocks * L):
             # replay through a 1-block call of the chain kernel — identical
@@ -564,9 +600,10 @@ class Pipeline:
         rs._hist_q = mq[L - h:]
 
     def _seek_cascade(self, n_blocks: int, history: bytes | None,
-                      last_plan) -> None:
-        """Cascade arm of :meth:`seek_to_block` (round 3): reconstruct every
-        stage's FIR history from ONE raw history block.
+                      tail_fields) -> None:
+        """Cascade arm of :meth:`seek_to_block`: reconstruct every stage's
+        FIR history from the raw history blocks (``tail_fields`` carries
+        their per-block plan constants, (7, k_h)).
 
         The replay starts each stage with zero history, so its first
         ``rs.T − 1`` input-referred samples are corrupted — but each stage's
@@ -594,34 +631,35 @@ class Pipeline:
                 st.in_consumed = c_in
                 st.m_next = c_out
             return
-        if history is None or len(history) != self.block_bytes:
+        if (history is None or len(history) < self.block_bytes
+                or len(history) % self.block_bytes):
             raise ValueError(
-                "seek with a resampler needs the raw bytes of the "
-                "preceding full block as history"
+                "seek with a resampler needs whole raw capture blocks as "
+                "history (see seek_history_blocks)"
             )
         from doppler_tpu.ops.pallas.chain import carry_rows as _cr
 
-        pa = [
-            np.asarray(getattr(last_plan, f))[-1:]
-            for f in ("d_hi", "d_lo", "c1_hi", "c1_lo", "c2_hi", "c2_lo", "t")
-        ]
+        k_h = min(len(history) // self.block_bytes, tail_fields.shape[1])
+        history = history[-k_h * self.block_bytes:]
+        tail = tail_fields[:, -k_h:]
         total_1 = self.chunk_blocks * L
         if self._cascade_eligible(total_1):
             # FUSED replay bound (ADVICE r3: per the path actually taken):
             # the zero-history corrupt head plus every stage's carry cone
-            # must fit inside the one real block.  Fused stages need whole
-            # 128-row carries; XLA-tail stages (split cascade) only their
-            # T−1 input-referred samples.
+            # must fit inside the replayed real blocks.  Fused stages need
+            # whole 128-row carries; XLA-tail stages (split cascade) only
+            # their T−1 input-referred samples.
             kf = self._cascade_k
             cone = max(
                 (_cr(st.T) * 128 if i < kf else st.T - 1)
                 * (self.samplerate // st.in_rate)
                 for i, st in enumerate(rs.stages)
             )
-            if L < (rs.T - 1) + cone + (rs.T - 1):
+            if k_h * L < 2 * (rs.T - 1) + cone:
                 raise ValueError(
-                    f"block ({L} samples) too short to reconstruct the "
-                    f"cascade's history (needs ≥ {2 * (rs.T - 1) + cone})"
+                    f"history ({k_h} blocks = {k_h * L} samples) too short "
+                    f"to reconstruct the cascade's state (needs ≥ "
+                    f"{2 * (rs.T - 1) + cone}; see seek_history_blocks)"
                 )
             from doppler_tpu.ops.pallas.chain import (
                 mix_cascade_pallas_stream,
@@ -629,23 +667,28 @@ class Pipeline:
 
             self._ensure_cascade_state()
             # Replay through the chunk's own validated step geometry
-            # (blocks_per_step = _cascade_w), zero-prepadding to one full
-            # step with the real block LAST (ADVICE r3 medium: W=1 geometry
-            # need not validate — e.g. L=2176 rows don't tile D=2).  Zero
-            # prefix blocks mix to exact zeros, so each stage's carry —
-            # the last HBR rows of its input, inside the real block by the
-            # cone bound above — is bitwise the 1-block replay's.
+            # (blocks_per_step = _cascade_w), zero-prepadding to whole
+            # steps with the real blocks LAST (ADVICE r3 medium: small-B
+            # geometry need not validate).  Zero prefix blocks mix to
+            # exact zeros, so each stage's carry — the last HBR rows of
+            # its input, inside the real span by the cone bound above —
+            # is bitwise what the stream held entering block ``n_blocks``.
             W_r = self._cascade_w
+            B_r = W_r * (-(-k_h // W_r))
             if self.intype == "i16":
-                flat = np.zeros((W_r, L), dtype="<i4")
-                flat[W_r - 1] = codec.bytes_to_i16_words(history)
+                flat = np.zeros((B_r, L), dtype="<i4")
+                words = codec.bytes_to_i16_words(history)
+                flat[B_r - k_h:] = words.reshape(k_h, L)
                 staged = flat
             else:
                 pairs = codec.bytes_to_f32_pairs(history)
-                flat = np.zeros((2, W_r, L), dtype="<f4")
-                native.f32_pairs_to_planar_into(
-                    pairs, flat[0, W_r - 1], flat[1, W_r - 1])
+                flat = np.zeros((2, B_r, L), dtype="<f4")
+                tgt = flat[:, B_r - k_h:].reshape(2, k_h * L)
+                native.f32_pairs_to_planar_into(pairs, tgt[0], tgt[1])
+                flat[:, B_r - k_h:] = tgt.reshape(2, k_h, L)
                 staged = flat
+            plans_r = np.zeros((7, B_r), dtype=np.uint32)
+            plans_r[:, B_r - k_h:] = tail
             zeros = tuple(
                 jnp.zeros_like(c) for c in self._cascade_carries
             )
@@ -653,7 +696,7 @@ class Pipeline:
             split = k < len(rs.stages)
             out, carries = mix_cascade_pallas_stream(
                 jnp.asarray(staged),
-                *(jnp.asarray(np.repeat(a, W_r)) for a in pa),
+                *(jnp.asarray(plans_r[fi]) for fi in range(7)),
                 self._cascade_taps, zeros, stages=self._cascade_stages,
                 blocks_per_step=W_r, interpret=self.pallas_interpret,
                 intype=self.intype,
@@ -669,12 +712,13 @@ class Pipeline:
                 st.in_consumed = c_in
                 st.m_next = c_out
             if split:
-                # XLA-tail stages: run the real block's front planes through
+                # XLA-tail stages: run the real blocks' front planes through
                 # the same ``process`` the stream's tail runs — it leaves
                 # each tail stage holding exactly the stream's FIR history
                 # (chunk-width stability), then pin the absolute counters
-                planes = out.reshape(2, W_r, -1)[:, W_r - 1]
-                yi, yq = planes[0], planes[1]
+                planes = out.reshape(2, B_r, -1)[:, B_r - k_h:]
+                yi = planes[0].reshape(-1)
+                yq = planes[1].reshape(-1)
                 n_val = yi.shape[-1]
                 for st, (c_in, c_out) in zip(rs.stages[k:], counters[k:]):
                     cap = int(yi.shape[-1])
@@ -685,26 +729,27 @@ class Pipeline:
             return
         # XLA replay bound: each stage only needs its T−1 input-referred
         # history past the corrupt head — no 128-row carry padding
-        if L < 2 * (rs.T - 1):
+        if k_h * L < 2 * (rs.T - 1):
             raise ValueError(
-                f"block ({L} samples) too short to reconstruct the "
-                f"cascade's history (needs ≥ {2 * (rs.T - 1)})"
+                f"history ({k_h} blocks = {k_h * L} samples) too short to "
+                f"reconstruct the cascade's state (needs ≥ "
+                f"{2 * (rs.T - 1)}; see seek_history_blocks)"
             )
-        # XLA cascade: mix the history block with the stream's mixer, then
-        # run it through the (fresh) cascade — its chunk-width-stable
+        # XLA cascade: mix the history blocks with the stream's mixer, then
+        # run them through the (fresh) cascade — its chunk-width-stable
         # ``process`` leaves each stage holding exactly the stream's history
         use_pallas_mix = self.impl == "pallas" and L % 128 == 0
         if self.intype == "i16":
-            flat = np.zeros(L, dtype="<i4")
-            flat[:] = codec.bytes_to_i16_words(history)
-            staged = flat.reshape(1, L)
+            staged = np.asarray(
+                codec.bytes_to_i16_words(history)).reshape(k_h, L)
         elif use_pallas_mix:
             pairs = codec.bytes_to_f32_pairs(history)
-            flat = np.zeros((2, L), dtype="<f4")
+            flat = np.zeros((2, k_h * L), dtype="<f4")
             native.f32_pairs_to_planar_into(pairs, flat[0], flat[1])
-            staged = flat.reshape(2, 1, L)
+            staged = flat.reshape(2, k_h, L)
         else:
-            staged = codec.bytes_to_f32_pairs(history).reshape(1, L, 2)
+            staged = codec.bytes_to_f32_pairs(history).reshape(k_h, L, 2)
+        pa = [tail[fi] for fi in range(7)]
         if use_pallas_mix:
             from doppler_tpu.ops.pallas.mixer import mix_blocks_pallas_fmt
 
@@ -722,7 +767,7 @@ class Pipeline:
             )
             flat_out = out.reshape(-1, 2)
             mi, mq = flat_out[:, 0], flat_out[:, 1]
-        rs.process(mi, mq, L)
+        rs.process(mi, mq, k_h * L)
         for st, (c_in, c_out) in zip(rs.stages, counters):
             st.in_consumed = c_in
             st.m_next = c_out

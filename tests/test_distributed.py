@@ -435,3 +435,40 @@ def test_two_process_channels_split(tmp_path):
         a = (sdir / f"ch{k}.iq").read_bytes()
         b = (ddir / f"ch{k}.iq").read_bytes()
         assert a == b and len(a) > 0, f"ch{k} diverged"
+
+
+@pytest.mark.parametrize("impl", ["pallas", "xla"])
+def test_seek_multiblock_history_config5_rate(impl):
+    """Round 4: distribute = seek at BASELINE config 5's literal rate
+    (100 Msps → 48 ksps) — the cascade's input-referred FIR state spans
+    tens of reference blocks, so seek_to_block now takes
+    ``seek_history_blocks()`` raw blocks of history (with their own plan
+    constants), staying bitwise on both device implementations."""
+    fs = 100_000_000
+
+    def mk():
+        p = Pipeline(fs, "i16", "i16", ConstScheduler(1e6),
+                     chunk_blocks=32, impl=impl,
+                     pallas_interpret=impl == "pallas")
+        attach_resampler(p, 48000, stages="multi")
+        return p
+
+    raw = np.random.default_rng(8).integers(
+        -9000, 9000, size=2 * 2048 * 96, dtype=np.int16
+    ).astype("<i2").tobytes()
+    p0 = mk()
+    n_hist = p0.seek_history_blocks()
+    assert n_hist > 1        # the point of this test
+    whole = io.BytesIO()
+    p0.run(io.BytesIO(raw), whole)
+    whole = whole.getvalue()
+
+    k = 64
+    n_in = k * 2048
+    p2 = mk()
+    for st in p2.resampler.stages:
+        n_in = -(-n_in * st.P // st.Q)
+    p2.seek_to_block(k, history=raw[(k - n_hist) * BB:k * BB])
+    out = io.BytesIO()
+    p2.run(io.BytesIO(raw[k * BB:]), out)
+    assert out.getvalue() == whole[n_in * 4:] and out.getvalue()
