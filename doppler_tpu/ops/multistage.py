@@ -114,14 +114,23 @@ class MultiStageResampler:
         # whose sharper transition would exceed that falls back to the next
         # smaller factor.  All q divide 128, so every stage stays fusable
         # (and split-cascade-prefix eligible).
+        #
+        # Alias-fold margin: a ÷q stage folds ~q−1 stopband bands onto the
+        # output band, so a flat atten_db stopband sums to roughly
+        # atten_db − 10·log10(q−1) of final SNR (measured: the config-5
+        # ÷16·÷16 cascade at a flat 70 dB design scored 56.8 dB).  Each
+        # stage is therefore designed 10·log10(q) dB deeper — taps stay
+        # within the 129-tap carry cap, so the fused MAC cost is unchanged
+        # (the dense-matmul cost is taps-independent at R=2).
         while rate / 2.0 >= 2.0 * out_rate and float(rate / 2.0).is_integer():
             for q in (16, 8, 4, 2):
                 if rate / q < 2.0 * out_rate:
                     continue
                 if not float(rate / q).is_integer():
                     continue
+                atten_s = atten_db + 10.0 * math.log10(q)
                 try:
-                    taps = stage_taps_needed(rate, q, pass_hz, atten_db)
+                    taps = stage_taps_needed(rate, q, pass_hz, atten_s)
                 except ValueError:
                     continue
                 if taps > 129:
@@ -132,14 +141,16 @@ class MultiStageResampler:
             self.stages.append(
                 RationalResampler(
                     int(rate), rate / q,
-                    taps_per_phase=taps, atten_db=atten_db,
+                    taps_per_phase=taps, atten_db=atten_s,
                     channels=channels, impl=impl,
                 )
             )
             rate = rate / q
+        fin_ratio = max(1.0, rate / float(out_rate))
+        atten_f = atten_db + 10.0 * math.log10(fin_ratio)
         self.stages.append(
             RationalResampler(
-                int(rate), out_rate, atten_db=atten_db, channels=channels,
+                int(rate), out_rate, atten_db=atten_f, channels=channels,
                 max_denominator=max_denominator, impl=impl,
             )
         )
