@@ -96,9 +96,10 @@ def main() -> int:
 
     fs = 1024000
     if args.mode.startswith("split"):
-        # odd-Q rate class (BASELINE config 5's own tail): 6.25 Msps → 48 k
-        # factors as ÷16 then 384/3125 — the split-cascade showcase
-        fs = 6_250_000
+        # BASELINE config 5's literal rate: 100 Msps → 48 ksps factors as
+        # ÷16 → ÷16 → 384/3125 — the split-cascade showcase (fused ÷256
+        # front, XLA rational tail at 390.625 ksps)
+        fs = 100_000_000
     L = 8192
     per_stream = args.samples
     if args.mode.startswith("channels"):
