@@ -27,7 +27,7 @@ def main() -> int:
     ap.add_argument(
         "--mode",
         choices=["chain", "chain-pallas", "chain-mesh", "cascade-pallas",
-                 "split-pallas", "split-xla",
+                 "split-pallas", "split-xla", "channels-split",
                  "mix", "mix-pallas", "channels", "channels-pallas"],
         default="chain-pallas",
         help="default chain-pallas: the BASELINE primary metric (NCO mix + "
@@ -95,7 +95,7 @@ def main() -> int:
     print(f"bench device: {dev}", file=sys.stderr)
 
     fs = 1024000
-    if args.mode.startswith("split"):
+    if args.mode.startswith("split") or args.mode == "channels-split":
         # BASELINE config 5's literal rate: 100 Msps → 48 ksps factors as
         # ÷16 → ÷16 → 384/3125 — the split-cascade showcase (fused ÷256
         # front, XLA rational tail at 390.625 ksps)
@@ -110,7 +110,8 @@ def main() -> int:
         args.channels if args.mode.startswith("channels") else 1
     )
     rs = RationalResampler(fs, 48000)
-    assert args.mode.startswith("split") or N % rs.Q == 0
+    assert (args.mode.startswith("split")
+            or args.mode == "channels-split" or N % rs.Q == 0)
 
     rng = np.random.default_rng(0xBE)
     words = rng.integers(-(1 << 31), (1 << 31), size=(B, L), dtype=np.int64).astype(
@@ -296,6 +297,81 @@ def main() -> int:
                 return _tail(jnp.stack([yi, yq]))
 
             metric = "mix_split_cascade_xla_i16_samples_per_s_chip"
+    elif args.mode == "channels-split":
+        # BASELINE config 5 PROPER: C channels × the 100 Msps split cascade,
+        # channel-batched — ONE fused front launch for all channels + the
+        # batched XLA tail.  The metric (ch-samples/s/chip) sizes the
+        # config-5 realtime requirement: C_rt = rate / 100e6 channels/chip.
+        from doppler_tpu.ops.multistage import MultiStageResampler
+        from doppler_tpu.ops.pallas.chain import (
+            carry_rows,
+            make_chain_taps,
+            mix_cascade_pallas_channels,
+        )
+        from doppler_tpu.ops.resample import (
+            conv_stream_geometry,
+            resample_conv_stream,
+        )
+
+        C = args.channels
+        ms = MultiStageResampler(fs, 48000)
+        k = len(ms.stages) - 1
+        front = ms.stages[:k]
+        fin = ms.stages[-1]
+        stages_cfg = tuple((st.P, st.Q, st.T) for st in front)
+        front_taps = tuple(
+            jax.device_put(jnp.asarray(
+                make_chain_taps(st.bank, st.P, st.Q, pp=st.P)))
+            for st in front
+        )
+        ch_carries = tuple(
+            jax.device_put(jnp.zeros((C, 2, carry_rows(st.T), 128),
+                                     jnp.float32))
+            for st in front
+        )
+        fieldsC = np.zeros((7, C, B), dtype=np.uint32)
+        for c in range(C):
+            pc = plan_blocks(
+                [1e6 * (c - C / 2) - 0.01 * kk for kk in range(B)],
+                [L] * B, fs, NCOState(), L,
+            )
+            for fi, nm in enumerate(("d_hi", "d_lo", "c1_hi", "c1_lo",
+                                     "c2_hi", "c2_lo", "t")):
+                fieldsC[fi, c] = getattr(pc, nm)
+        fieldsC = jax.device_put(jnp.asarray(fieldsC))
+        ratio = 1
+        for st in front:
+            ratio *= st.Q
+        n_mid = N // ratio
+        h_f = fin.T - 1
+        m_fin = n_mid * fin.P // fin.Q
+        s0, p0c, Kc, PADZ, TAIL = conv_stream_geometry(
+            0, 0, m_fin, n_mid, P=fin.P, Q=fin.Q, T=fin.T)
+        fin_taps = jax.device_put(jnp.asarray(
+            make_taps_matrix(fin.bank, fin.P, fin.Q)))
+        print(f"channels-split: C={C} × "
+              + " -> ".join(f"{st.P}/{st.Q}" for st in ms.stages),
+              file=sys.stderr)
+
+        interp_cs = args.platform == "cpu"
+
+        @jax.jit
+        def step(data, *_):
+            planes, _ = mix_cascade_pallas_channels(
+                data, fieldsC, front_taps, ch_carries, stages=stages_cfg,
+                intype="i16", outtype="f32", final_dense=True,
+                interpret=interp_cs)
+            flat = planes.reshape(2, C, -1)
+            zeros = jnp.zeros((2, C, h_f), jnp.float32)
+            x = jnp.concatenate([zeros, flat], axis=-1)
+            yi, yq = resample_conv_stream(
+                x[0], x[1], fin_taps, jnp.int32(s0), jnp.int32(p0c),
+                P=fin.P, Q=fin.Q, T=fin.T, K=Kc, M=m_fin,
+                PADZ=PADZ, TAIL=TAIL,
+            )
+            return codec.iq_to_i16_words(yi, yq)
+
+        metric = f"channels{C}_split_cascade_i16_ch_samples_per_s_chip"
     elif args.mode == "chain-mesh":
         # Scaling harness (BASELINE "Scaling efficiency" row): the sharded
         # product step — fused Pallas chain per time shard, ppermute
