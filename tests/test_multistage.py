@@ -452,3 +452,42 @@ def test_split_cascade_seek_resumes_bitwise():
     out = io.BytesIO()
     p2.run(io.BytesIO(raw[k * bb:]), out)
     assert out.getvalue() == whole[n_in * 4:] and out.getvalue()
+
+
+@pytest.mark.parametrize("fs,out_rate", [
+    (2_400_000, 48000),    # ÷16 front, 8/25 tail (Q=25)
+    (768_000, 32000),      # ÷8 front, 1/3 tail (Q=3)
+    (5_000_000, 125000),   # ÷8·÷2 front, 2/5 tail (Q=5)
+])
+def test_split_cascade_arbitrary_rates(fs, out_rate):
+    """Rate fuzz for the split machinery: assorted odd-Q tails with
+    different greedy fronts all engage the fused front, agree with the
+    all-XLA cascade within 1 LSB, and are chunk-width bitwise."""
+    ms = MultiStageResampler(fs, out_rate)
+    assert ms.stages[-1].Q % 2 == 1          # odd-Q tail by construction
+
+    def mk(impl, chunk=8):
+        from doppler_tpu.ops.resample import attach_resampler
+        from doppler_tpu.runtime.pipeline import ConstScheduler, Pipeline
+
+        p = Pipeline(fs, "i16", "i16", ConstScheduler(fs / 100.0),
+                     chunk_blocks=chunk, impl=impl,
+                     pallas_interpret=impl == "pallas")
+        attach_resampler(p, out_rate, stages="multi")
+        return p
+
+    rng = np.random.default_rng(fs ^ out_rate)
+    raw = rng.integers(-9000, 9000, size=2 * 2048 * 16,
+                       dtype=np.int16).astype("<i2").tobytes()
+    a = _run_bytes(mk("xla"), raw)
+    pb = mk("pallas")
+    b = _run_bytes(pb, raw)
+    assert pb._cascade_w is not None, "split front did not engage"
+    assert 1 <= pb._cascade_k < len(pb.resampler.stages)
+    xa = np.frombuffer(a, dtype="<i2").astype(np.int32)
+    xb = np.frombuffer(b, dtype="<i2").astype(np.int32)
+    assert xa.size == xb.size and xa.size > 0
+    d = np.abs(xa - xb)
+    assert d.max() <= 1 and np.mean(d > 0) < 0.01
+    c = _run_bytes(mk("pallas", chunk=4), raw)
+    assert c == b
