@@ -491,3 +491,39 @@ def test_split_cascade_arbitrary_rates(fs, out_rate):
     assert d.max() <= 1 and np.mean(d > 0) < 0.01
     c = _run_bytes(mk("pallas", chunk=4), raw)
     assert c == b
+
+
+def test_split_cascade_f32_formats():
+    """f32 wire formats ride the split path too: the planar front planes
+    and the XLA tail agree with the all-XLA cascade at 1-ulp grade."""
+    from doppler_tpu.ops.resample import attach_resampler
+    from doppler_tpu.runtime.pipeline import ConstScheduler, Pipeline
+
+    fs = 250000
+    rng = np.random.default_rng(0xF5)
+    raw = (0.4 * rng.standard_normal(2 * 1024 * 16 * 4)).astype("<f4").tobytes()
+
+    def run(impl, ot):
+        p = Pipeline(fs, "f32", ot, ConstScheduler(5000.0),
+                     chunk_blocks=16, impl=impl,
+                     pallas_interpret=impl == "pallas")
+        attach_resampler(p, 48000, stages="multi")
+        out = io.BytesIO()
+        p.run(io.BytesIO(raw), out)
+        return p, out.getvalue()
+
+    for ot in ("f32", "i16"):
+        pa, a = run("xla", ot)
+        pb, b = run("pallas", ot)
+        assert pb._cascade_w is not None and pb._cascade_k == 1
+        if ot == "f32":
+            ya = np.frombuffer(a, "<f4")
+            yb = np.frombuffer(b, "<f4")
+            assert ya.size == yb.size and ya.size > 0
+            rel = (np.sqrt(np.mean((ya - yb) ** 2))
+                   / (np.sqrt(np.mean(ya ** 2)) + 1e-30))
+            assert rel < 1e-6, rel
+        else:
+            ya = np.frombuffer(a, "<i2").astype(np.int32)
+            yb = np.frombuffer(b, "<i2").astype(np.int32)
+            assert ya.size == yb.size and np.abs(ya - yb).max() <= 1
