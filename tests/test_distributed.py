@@ -472,3 +472,38 @@ def test_seek_multiblock_history_config5_rate(impl):
     out = io.BytesIO()
     p2.run(io.BytesIO(raw[k * BB:]), out)
     assert out.getvalue() == whole[n_in * 4:] and out.getvalue()
+
+
+def test_two_process_stream_split_heavy_rate(tmp_path):
+    """Two-process split at a heavy odd-Q rate (6.25 Msps → 48 ksps): the
+    CLI must read seek_history_blocks() whole raw blocks before each
+    host's byte range (round 4 — one block cannot reconstruct the
+    384/3125 tail's FIR state) and the concatenated parts must equal the
+    single-process output bitwise."""
+    fs5 = 6_250_000
+    raw = i16_stream(2048 * 16 * 6)
+    inp = tmp_path / "in.iq"
+    inp.write_bytes(raw)
+    out = tmp_path / "out.iq"
+    base = ["const", "-s", str(fs5), "-i", "i16", "--shift", "100000",
+            "--resample-to", "48000", "--chunk-blocks", "16",
+            "--platform", "cpu", "--input", str(inp)]
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    # sanity: this rate really needs multi-block history
+    p_heavy = Pipeline(fs5, "i16", "i16", ConstScheduler(100000.0),
+                       chunk_blocks=16)
+    attach_resampler(p_heavy, 48000.0, stages="multi")
+    assert p_heavy.seek_history_blocks() > 1
+
+    single = tmp_path / "single.iq"
+    p = _spawn_cli(base + ["--output", str(single)], env)
+    _, err = p.communicate(timeout=420)
+    assert p.returncode == 0, err.decode()[-3000:]
+
+    _run_two_hosts(base + ["--output", str(out)], tmp_path)
+    got = (tmp_path / "out.iq.part0").read_bytes() + (
+        tmp_path / "out.iq.part1"
+    ).read_bytes()
+    assert got == single.read_bytes() and len(got) > 0
