@@ -171,6 +171,7 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1,
                 j, sidx(d_hi_r, k), sidx(d_lo_r, k),
                 sidx(c1_hi_r, k), sidx(c1_lo_r, k),
                 sidx(c2_hi_r, k), sidx(c2_lo_r, k), sidx(t_r, k),
+                small_j=(SL * 128 <= 65536),
             )
             c, s = _sincos_q24(q24)
             oi, oq = mix_tone(fi, fq, c, s)
@@ -700,6 +701,7 @@ def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16",
                 j, sidx(d_hi_r, k), sidx(d_lo_r, k),
                 sidx(c1_hi_r, k), sidx(c1_lo_r, k),
                 sidx(c2_hi_r, k), sidx(c2_lo_r, k), sidx(t_r, k),
+                small_j=(SL * 128 <= 65536),
             )
             c, s = _sincos_q24(q24)
             oi, oq = mix_tone(fi, fq, c, s)

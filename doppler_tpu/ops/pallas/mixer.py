@@ -48,7 +48,7 @@ def _umulhi32(a, b):
 
 
 def phase_q24(j, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
-              small_j: bool = True):
+              small_j: bool):
     """Exact Q0.64 phase → top-24-bit int32 word, the shared VPU hot loop.
 
     Computes ``(j·D + C) mod 2^64 >> 40`` on uint32 lanes where D/C are the
@@ -58,9 +58,13 @@ def phase_q24(j, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
     every lane op counts; both are integer-exact, bitwise-identical
     transformations):
 
-    - ``small_j``: block-local j < 2^16 (every L ≤ 65536) zeroes the high
-      half of j, so the 32×32 umulhi's a_hi partials vanish — 2 multiplies
-      + 5 ops instead of 4 + 8;
+    - ``small_j``: when the caller's block-local j is statically < 2^16
+      (every L ≤ 65536), the high half of j is zero, so the 32×32 umulhi's
+      a_hi partials vanish — 2 multiplies + 5 ops instead of 4 + 8.
+      **Callers MUST pass** ``small_j = (L <= 65536)`` from their static
+      block shape (ADVICE r4 high: a ``True`` default silently corrupted
+      phases for any ``--block-bytes`` giving L > 65536 — the reduction is
+      only exact while j's high half is actually zero);
     - the C1/C2 segment choice selects the *offset scalars* before ONE
       add-with-carry instead of computing both offset sums and selecting —
       u32 addition gives the same words either way.
@@ -130,7 +134,8 @@ def _make_mixer_kernel(W: int, intype: str = "i16", outtype: str = "i16"):
             # int32 (Mosaic has no uint32→f32 cast; f32 would only retain
             # 24 bits of the Q0.32 phase anyway)
             q24 = phase_q24(j, d_hi_r[k], d_lo_r[k], c1_hi_r[k], c1_lo_r[k],
-                            c2_hi_r[k], c2_lo_r[k], t_r[k])
+                            c2_hi_r[k], c2_lo_r[k], t_r[k],
+                            small_j=(S * 128 <= 65536))
             c, s = _sincos_q24(q24)
 
             oi, oq = mix_tone(fi, fq, c, s)
@@ -273,7 +278,8 @@ def _make_q15_kernel(W: int):
             d_hi = d_hi_r[k]
             d_lo = d_lo_r[k]
             q24 = phase_q24(j, d_hi, d_lo, c1_hi_r[k], c1_lo_r[k],
-                            c2_hi_r[k], c2_lo_r[k], t_r[k])
+                            c2_hi_r[k], c2_lo_r[k], t_r[k],
+                            small_j=(S * 128 <= 65536))
             c, s = _sincos_q24(q24)
 
             # Q15 tone: round-half-away of ×32767 (scale 32767, not 32768,

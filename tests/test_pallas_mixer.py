@@ -126,6 +126,57 @@ def test_pallas_mixer_blocks_per_step_equivalence():
     assert np.array_equal(outs[0], outs[2])
 
 
+def test_pallas_mixer_large_block_exact_phase():
+    """L > 2^16 must route phase_q24 off the small_j fast path (ADVICE r4 high).
+
+    With the old ``small_j=True`` default, every sample with j ≥ 65536 got a
+    silently wrong Q0.64 phase (first divergence at j=75330 for this plan).
+    The kernel builders now pass ``small_j = (L <= 65536)`` from the static
+    block shape; this pins the full mixer at L=131072 against the XLA path.
+    """
+    B, L, fs = 1, 131072, 1024000
+    words = RNG.integers(-(1 << 31), 1 << 31, size=(B, L),
+                         dtype=np.int64).astype(np.int32)
+    arrs = _plan_arrs([9660.609375], L, fs)
+
+    i, q = codec.i16_words_to_iq(jnp.asarray(words))
+    wi, wq = nco.mix_blocks(i, q, *arrs)
+    want = np.asarray(codec.iq_to_i16_words(wi, wq))
+    got = np.asarray(mix_blocks_pallas(jnp.asarray(words), *arrs,
+                                       interpret=True))
+    # the tail of the block (j >= 65536) is exactly where small_j corrupted
+    tail = slice(70000, L)
+    gi, gq = (np.asarray(a) for a in codec.i16_words_to_iq(jnp.asarray(got)))
+    ei, eq = (np.asarray(a) for a in codec.i16_words_to_iq(jnp.asarray(want)))
+    diff = np.maximum(np.abs(gi - ei), np.abs(gq - eq)) * 32768.0
+    assert diff[:, tail].max() <= 1.0 + 1e-3
+    assert diff.max() <= 1.0 + 1e-3
+    assert np.mean(got == want) > 0.99
+
+
+def test_phase_q24_umulhi_exact_large_j():
+    """phase_q24(small_j=False) == exact 64-bit host arithmetic for j ≥ 2^16."""
+    from doppler_tpu.ops.pallas.mixer import phase_q24
+
+    j = np.arange(60000, 140000, dtype=np.uint64)
+    D = np.uint64(0x9E3779B97F4A7C15)
+    C1 = np.uint64(0x0123456789ABCDEF)
+    C2 = np.uint64(0xFEDCBA9876543210)
+    t = np.uint64(75330)
+    C = np.where(j < t, C1, C2)
+    want = ((j * D + C) & np.uint64(0xFFFFFFFFFFFFFFFF)) >> np.uint64(40)
+
+    got = phase_q24(
+        jnp.asarray(j.astype(np.uint32)),
+        jnp.uint32(D >> np.uint64(32)), jnp.uint32(D & np.uint64(0xFFFFFFFF)),
+        jnp.uint32(C1 >> np.uint64(32)), jnp.uint32(C1 & np.uint64(0xFFFFFFFF)),
+        jnp.uint32(C2 >> np.uint64(32)), jnp.uint32(C2 & np.uint64(0xFFFFFFFF)),
+        jnp.uint32(t), small_j=False,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got).astype(np.uint32), want.astype(np.uint32))
+
+
 def test_pallas_mixer_rejects_bad_blocks_per_step():
     import pytest
 

@@ -223,7 +223,8 @@ def main() -> int:
                     fq = (w >> 16).astype(jnp.float32) * scale
                     q24 = phase_q24(j, d_hi_r[k], d_lo_r[k],
                                     c1_hi_r[k], c1_lo_r[k],
-                                    c2_hi_r[k], c2_lo_r[k], t_r[k])
+                                    c2_hi_r[k], c2_lo_r[k], t_r[k],
+                                    small_j=(S * 128 <= 65536))
                     c, s_ = _sincos_q24(q24)
                     oi, oq = mix_tone(fi, fq, c, s_)
                     mis.append(oi)
