@@ -109,8 +109,12 @@ def make_chain_taps(bank: np.ndarray, P: int, Q: int,
     return out
 
 
+_DOT_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+                   "default": jax.lax.Precision.DEFAULT}
+
+
 def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1,
-                 intype="i16", outtype="i16"):
+                 intype="i16", outtype="i16", dot_precision="highest"):
     SL = L // 128                 # mixed rows per reference block
     WSL = W * SL                  # mixed rows per grid step
     HBR = carry_rows(T)           # history rows
@@ -229,7 +233,7 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1,
             acc = acc + jnp.dot(
                 x_r, taps_ref[128 * rp : 128 * (rp + 1), :],
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_DOT_PRECISIONS[dot_precision],
             )
 
         if outtype == "f32":
@@ -313,7 +317,7 @@ def wide_chain_taps(taps_merged, D: int):
 
 @functools.partial(
     jax.jit, static_argnames=("P", "Q", "T", "interpret", "blocks_per_step",
-                              "intype", "outtype")
+                              "intype", "outtype", "dot_precision")
 )
 def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
                                      c2_hi, c2_lo, t, chain_taps, carry_in,
@@ -321,7 +325,8 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
                                      interpret: bool = False,
                                      blocks_per_step: int | None = None,
                                      intype: str = "i16",
-                                     outtype: str = "i16"):
+                                     outtype: str = "i16",
+                                     dot_precision: str = "highest"):
     """Streaming fused chain, all four wire formats (dsp.rs:85-115).
 
     i16 input: ``(B, L)`` packed int32 words; f32 input: ``(2, B, L)``
@@ -366,7 +371,8 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
     G = A // D
     NSLICE = taps_rows // 128 + D - 1
     kernel = _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, D=D,
-                          intype=intype, outtype=outtype)
+                          intype=intype, outtype=outtype,
+                          dot_precision=dot_precision)
 
     if intype == "i16":
         data_spec = pl.BlockSpec((W, SL, 128), lambda b, *_: (b, 0, 0),

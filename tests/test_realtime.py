@@ -35,13 +35,64 @@ def test_realtime_scheduler_tracks_wall_clock():
     clock = FakeClock(EPOCH_UNIX + 600.0)
     s = make_sched(clock)
     a = s.shifts([2048] * 4)
-    assert len(set(a)) == 1  # one evaluation per chunk
+    assert len(a) == 4
     clock.t += 120.0
     b = s.shifts([2048] * 4)
     assert a[0] != b[0]  # doppler moved over two minutes
     # doppler magnitude sane for LEO at UHF + 5 kHz offset
     for v in (a[0], b[0]):
         assert abs(v - 5000.0) < 12000.0
+
+
+def test_realtime_per_block_cadence_matches_sequential_reference():
+    """VERDICT r4 next #2: the chunked realtime scheduler must reproduce the
+    reference's per-8192-byte-block Doppler staircase (main.rs:187-189), not
+    one value per chunk.  Golden = a sequential per-block loop evaluating the
+    same predictor at each block's wall arrival time during a fast LEO pass.
+    """
+    fs, bs = 1_024_000, 2048
+    B = 32  # one 64 ms chunk at 1.024 Msps
+    t0 = EPOCH_UNIX + 300.0
+    s = make_sched_fs(FakeClock(t0), fs)
+    got = np.asarray(s.shifts([bs] * B))
+
+    pred = Predictor(Tle.from_lines("T", L1, L2),
+                     Observer(58.26541, 26.46667, 76.0))
+    want = []
+    for k in range(B):
+        now_k = t0 + k * bs / fs  # block k arrives k·block_dur after chunk start
+        dop, _ = pred.doppler_hz(now_k, 437505000.0)
+        want.append(float(np.float32(dop) + np.float32(5000.0)))
+    want = np.asarray(want)
+
+    # exact: same predictor, same times, scalar vs vectorized evaluation
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+    # and it IS a staircase, not a constant: the pass slews within the chunk
+    assert np.ptp(got) > 0.0
+
+
+def test_realtime_per_block_beats_per_chunk_error():
+    """The per-block staircase bounds the intra-chunk error at the
+    reference's own granularity; one-eval-per-chunk (the round-4 behavior)
+    left up to chunk_duration × slew of error (~6 Hz at 100 Hz/s / 64 ms)."""
+    fs, bs = 1_024_000, 2048
+    B = 32
+    t0 = EPOCH_UNIX + 300.0
+    s = make_sched_fs(FakeClock(t0), fs)
+    got = np.asarray(s.shifts([bs] * B))
+    chunk_err = np.abs(got - got[0]).max()   # error of the old per-chunk eval
+    block_dur = bs / fs
+    # per-block eval error is bounded by one block of slew; the old
+    # per-chunk error is ~B× that — assert the improvement is real
+    slew = np.abs(np.diff(got)).max() / block_dur   # Hz/s within the chunk
+    assert chunk_err > 3 * slew * block_dur, (chunk_err, slew * block_dur)
+
+
+def make_sched_fs(clock, fs):
+    pred = Predictor(Tle.from_lines("T", L1, L2),
+                     Observer(58.26541, 26.46667, 76.0))
+    return RealtimeTrackScheduler(pred, 437505000.0, 5000.0, fs,
+                                  telemetry=False, clock=clock)
 
 
 def test_realtime_matches_recorded_at_same_instant():

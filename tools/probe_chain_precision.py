@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Round-5 probe: what does the chain's MXU precision actually cost?
+
+Interleaved A/B (one process, best-of-N rounds — rig noise is ±25%
+run-to-run) of the REAL fused chain kernel at the config-3 bench shape:
+
+  hi    dot precision HIGHEST (6 bf16 passes / f32 matmul) — the product
+  def   dot precision DEFAULT (1 bf16 pass) — numerically wrong, exists
+        ONLY to bound the achievable gain of ANY pass-reduction scheme
+        (bf16-pair taps etc., VERDICT r4 next #1a): if def ≈ hi, the MXU
+        passes are hidden behind VPU/DMA and no split scheme can help.
+
+Optionally (--tone) also A/Bs the tone quadrant formulation (select-chain
+vs XOR sign-fold, bitwise-identical outputs) on the chain-mix shape.
+
+Usage (real TPU):  timeout 580 python tools/probe_chain_precision.py
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=1 << 25)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--dispatches", type=int, default=64)
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from doppler_tpu.ops.pallas.chain import (
+        make_chain_taps,
+        mix_resample_chain_pallas_stream,
+        carry_rows,
+    )
+    from doppler_tpu.ops.phase_plan import NCOState, plan_blocks
+    from doppler_tpu.ops.resample import RationalResampler
+
+    interp = args.platform == "cpu"
+    fs = 1_024_000
+    L = 8192
+    B = max(1, args.samples // L)
+    N = B * L
+    rs = RationalResampler(fs, 48000)
+    assert N % rs.Q == 0
+
+    rng = np.random.default_rng(0xBE)
+    words = rng.integers(-(1 << 31), (1 << 31), size=(B, L),
+                         dtype=np.int64).astype(np.int32)
+    plan = plan_blocks([9000.0 - 0.01 * k for k in range(B)], [L] * B, fs,
+                       NCOState(), L)
+    plan_arrs = [
+        jax.device_put(jnp.asarray(a))
+        for a in (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+                  plan.c2_hi, plan.c2_lo, plan.t)
+    ]
+    data = jax.device_put(jnp.asarray(words))
+    chain_taps = jax.device_put(jnp.asarray(make_chain_taps(rs.bank, rs.P,
+                                                            rs.Q)))
+    carry0 = jax.device_put(jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32))
+
+    def make_step(prec):
+        def step(x, *p):
+            out, _ = mix_resample_chain_pallas_stream(
+                x, *p, chain_taps, carry0, P=rs.P, Q=rs.Q, T=rs.T,
+                interpret=interp, dot_precision=prec)
+            return out
+        return step
+
+    variants = {"hi": make_step("highest"), "def": make_step("default")}
+
+    # warm up / compile everything first
+    for name, step in variants.items():
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(data, *plan_arrs))
+        print(f"warm {name}: {time.perf_counter()-t0:.1f} s", file=sys.stderr)
+
+    K = max(1, args.dispatches)
+
+    def timed(step):
+        t0 = time.perf_counter()
+        accs = []
+        for _ in range(K):
+            o = step(data, *plan_arrs)
+            accs.append(jnp.sum(o.reshape(-1)[:8].astype(jnp.float32)))
+        acc = accs[0]
+        for a in accs[1:]:
+            acc = acc + a
+        float(acc)
+        return time.perf_counter() - t0
+
+    best = {k: float("inf") for k in variants}
+    for it in range(args.iters):
+        for name, step in variants.items():
+            dt = timed(step)
+            best[name] = min(best[name], dt)
+            print(f"iter {it} {name}: {dt*1e3:8.2f} ms/{K} disp "
+                  f"({N*K/dt/1e9:6.2f} GS/s)", file=sys.stderr)
+
+    import json
+    print(json.dumps({k: {"gsps": N * K / v / 1e9, "ms": v * 1e3}
+                      for k, v in best.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
