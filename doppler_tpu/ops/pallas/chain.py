@@ -60,6 +60,11 @@ __all__ = [
     "mix_cascade_pallas_stream",
     "cascade_dims",
     "pick_cascade_blocks_per_step",
+    "split_point",
+    "front_taps",
+    "taps_shapes",
+    "cascade_replay_need",
+    "widen_replay_span",
     "chain_channel",
     "carry_rows",
 ]
@@ -217,24 +222,67 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1,
         # so every column shares the same LHS.  Buffer row a'·D + r' =
         # rows3[a' + r'//D, r'%D], so each slice is a contiguous
         # fixed-plane view of the D-regrouped rows.
-        if D == 1:
-            rows3_i = rows_i[:, None, :]
-            rows3_q = rows_q[:, None, :]
+        if dot_precision == "split3":
+            # 3-pass bf16-split scheme (VERDICT r4 next #1a experiment):
+            # operands are kept in f32 but rounded to bf16-exact values, so
+            # each DEFAULT dot's internal f32→bf16 feed is LOSSLESS and one
+            # MXU pass.  x ≈ x_h + x_l (x_h = RN_bf16(x); x_l = RN_bf16(x −
+            # x_h), |x−x_h−x_l| ≤ 2⁻¹⁸|x|); taps split likewise on the host
+            # (t_h rows then t_l rows of taps_ref).  acc += x_h·t_h +
+            # x_h·t_l + x_l·t_h — 3 passes vs HIGHEST's 6, dropping only
+            # the x_l·t_l ≈ 2⁻³⁶ term; ~90 dB vs HIGHEST measured, ≤1 LSB,
+            # NOT the <1%-diff oracle contract of "highest".  (An integer
+            # mask split — bf16 = f32 with the low mantissa halved off —
+            # was tried and measured ~11% SLOWER than these converts on the
+            # v5e: int ops on f32-tiled rows relayout; see ROADMAP r5.)
+            def _split(v):
+                h = v.astype(jnp.bfloat16).astype(jnp.float32)
+                l = (v - h).astype(jnp.bfloat16).astype(jnp.float32)
+                return h, l
+
+            ri_h, ri_l = _split(rows_i)
+            rq_h, rq_l = _split(rows_q)
+            if D == 1:
+                r3 = [v[:, None, :] for v in (ri_h, ri_l, rq_h, rq_l)]
+            else:
+                r3 = [v.reshape(-1, D, 128) for v in (ri_h, ri_l, rq_h, rq_l)]
+            ri_h3, ri_l3, rq_h3, rq_l3 = r3
+            NS128 = NSLICE * 128
+            acc = jnp.zeros((2 * G, D * CC), jnp.float32)
+            for rp in range(NSLICE):
+                q_, d_ = divmod(rp, D)
+                x_h = jnp.concatenate(
+                    [ri_h3[q_ : q_ + G, d_, :], rq_h3[q_ : q_ + G, d_, :]],
+                    axis=0)
+                x_l = jnp.concatenate(
+                    [ri_l3[q_ : q_ + G, d_, :], rq_l3[q_ : q_ + G, d_, :]],
+                    axis=0)
+                t_h = taps_ref[128 * rp : 128 * (rp + 1), :]
+                t_l = taps_ref[NS128 + 128 * rp : NS128 + 128 * (rp + 1), :]
+                acc = acc + (
+                    jnp.dot(x_h, t_h, preferred_element_type=jnp.float32)
+                    + jnp.dot(x_h, t_l, preferred_element_type=jnp.float32)
+                    + jnp.dot(x_l, t_h, preferred_element_type=jnp.float32)
+                )
         else:
-            rows3_i = rows_i.reshape(-1, D, 128)
-            rows3_q = rows_q.reshape(-1, D, 128)
-        acc = jnp.zeros((2 * G, D * CC), jnp.float32)
-        for rp in range(NSLICE):
-            q_, d_ = divmod(rp, D)
-            x_r = jnp.concatenate(
-                [rows3_i[q_ : q_ + G, d_, :], rows3_q[q_ : q_ + G, d_, :]],
-                axis=0,
-            )                                                   # (2G, 128)
-            acc = acc + jnp.dot(
-                x_r, taps_ref[128 * rp : 128 * (rp + 1), :],
-                preferred_element_type=jnp.float32,
-                precision=_DOT_PRECISIONS[dot_precision],
-            )
+            if D == 1:
+                rows3_i = rows_i[:, None, :]
+                rows3_q = rows_q[:, None, :]
+            else:
+                rows3_i = rows_i.reshape(-1, D, 128)
+                rows3_q = rows_q.reshape(-1, D, 128)
+            acc = jnp.zeros((2 * G, D * CC), jnp.float32)
+            for rp in range(NSLICE):
+                q_, d_ = divmod(rp, D)
+                x_r = jnp.concatenate(
+                    [rows3_i[q_ : q_ + G, d_, :], rows3_q[q_ : q_ + G, d_, :]],
+                    axis=0,
+                )                                                   # (2G, 128)
+                acc = acc + jnp.dot(
+                    x_r, taps_ref[128 * rp : 128 * (rp + 1), :],
+                    preferred_element_type=jnp.float32,
+                    precision=_DOT_PRECISIONS[dot_precision],
+                )
 
         if outtype == "f32":
             # per-plane indexed stores (a stacked store crashes Mosaic)
@@ -391,12 +439,14 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((2, B // W, G, D * CC), jnp.float32)
 
+    taps_row_blocks = 2 if dot_precision == "split3" else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(B // W,),
         in_specs=[
             data_spec,
-            pl.BlockSpec((NSLICE * 128, D * CC), lambda b, *_: (0, 0),
+            pl.BlockSpec((taps_row_blocks * NSLICE * 128, D * CC),
+                         lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, HBR, 128), lambda b, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -412,6 +462,11 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
     taps_merged = jnp.transpose(
         jnp.asarray(chain_taps), (1, 0, 2)
     ).reshape(taps_rows, CC)
+    taps_wide = wide_chain_taps(taps_merged, D)
+    if dot_precision == "split3":
+        t_h = taps_wide.astype(jnp.bfloat16).astype(jnp.float32)
+        t_l = (taps_wide - t_h).astype(jnp.bfloat16).astype(jnp.float32)
+        taps_wide = jnp.concatenate([t_h, t_l], axis=0)
     out, carry_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -428,7 +483,7 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
         jnp.asarray(c1_hi, jnp.uint32), jnp.asarray(c1_lo, jnp.uint32),
         jnp.asarray(c2_hi, jnp.uint32), jnp.asarray(c2_lo, jnp.uint32),
         jnp.asarray(t, jnp.uint32),
-        data, wide_chain_taps(taps_merged, D),
+        data, taps_wide,
         jnp.asarray(carry_in, jnp.float32),
     )
     # epilogue: (…, G, D, n_sub, PP) → keep P real phases → stream order
@@ -813,6 +868,85 @@ def pick_cascade_blocks_per_step(B: int, L: int, stage_shapes,
                 pass
         w -= 1
     return None
+
+
+def split_point(stages) -> int:
+    """Longest lane-tiling integer-decimation prefix k of a cascade.
+
+    THE one split-point rule (ADVICE r4: four hand-duplicated copies had to
+    agree with the carry-seeding/taps construction or a drifted copy would
+    silently corrupt cascade state).  ``stages[:k]`` runs as the fused
+    Pallas front; a non-empty tail (odd final Q) runs as the XLA rational
+    resampler at the 1/∏q front output rate.  Returns ``len(stages)`` when
+    the whole cascade tiles (fully fused), else the count of leading stages
+    with ``128 % Q == 0`` and integer decimation ``Q % P == 0``.
+    """
+    n = len(stages)
+    if all(128 % st.Q == 0 for st in stages):
+        return n
+    k = 0
+    while (k < n and 128 % stages[k].Q == 0
+           and stages[k].Q % stages[k].P == 0):
+        k += 1
+    return k
+
+
+def front_taps(stages, k: int):
+    """Host: :func:`make_chain_taps` arrays for the fused front ``stages[:k]``.
+
+    Inner stages (and ALL stages of a split front, where the final fused
+    stage feeds dense stream rows to the XLA tail) are built with ``pp=P``
+    so the D-merged matmul output IS the next consumer's dense row layout.
+    Shared by every dispatch gate and state-seeding site — the gates and
+    the carry construction MUST agree on this layout (ADVICE r4).
+    """
+    dense = k < len(stages)
+    return tuple(
+        make_chain_taps(st.bank, st.P, st.Q,
+                        pp=(st.P if (i < k - 1 or dense) else None))
+        for i, st in enumerate(stages[:k])
+    )
+
+
+def taps_shapes(stages, taps):
+    """``(P, Q, T, n_sub, taps_rows, pp)`` per fused stage, from built taps.
+
+    ``stages`` entries may be resampler stage objects or ``(P, Q, T)``
+    tuples; extra entries beyond ``len(taps)`` are ignored (zip).
+    """
+    out = []
+    for st, tp in zip(stages, taps):
+        p_, q_, t_ = st if isinstance(st, tuple) else (st.P, st.Q, st.T)
+        out.append((p_, q_, t_, tp.shape[0], tp.shape[1], tp.shape[2]))
+    return tuple(out)
+
+
+def cascade_replay_need(stages_front, in_rate: int) -> int:
+    """Input-referred sample span a mesh shard must replay from its left
+    neighbor to reconstruct every fused stage's carry bitwise: the
+    zero-history corrupt head (2·(T_front−1) input samples) plus the
+    deepest stage's carry cone (``carry_rows·128`` at the stage rate)."""
+    t_front = 1 + sum(
+        (st.T - 1) * (in_rate // st.in_rate) for st in stages_front)
+    cone = max(
+        carry_rows(st.T) * 128 * (in_rate // st.in_rate)
+        for st in stages_front)
+    return 2 * (t_front - 1) + cone
+
+
+def widen_replay_span(need: int, L: int, b_loc: int, stage_shapes,
+                      final_dense: bool = False) -> int:
+    """Replay span in whole blocks: the carry cone's ⌈need/L⌉, widened until
+    the cascade step geometry validates (large stage factors need A
+    divisible by D, which can take more rows than the cone itself — e.g.
+    ÷16 stages at the config-5 rate).  Extra REAL blocks only add correct
+    history, so carries stay bitwise.  May return ``b_loc + 1`` (i.e. no
+    valid span ≤ b_loc) — callers treat that as ineligible."""
+    r_h = -(-need // L)
+    while (r_h <= b_loc and pick_cascade_blocks_per_step(
+            r_h, L, stage_shapes, final_dense=final_dense) is None):
+        r_h += 1
+    return r_h
 
 
 @functools.partial(

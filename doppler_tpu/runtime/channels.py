@@ -326,50 +326,31 @@ class MultiChannelPipeline:
         if cfg != "unset":
             return cfg
         from doppler_tpu.ops.pallas.chain import (
-            carry_rows as _cr,
-            make_chain_taps,
+            cascade_replay_need,
+            front_taps,
             pick_cascade_blocks_per_step,
+            split_point,
+            taps_shapes,
+            widen_replay_span,
         )
 
         B, L = self.chunk_blocks, self.block_samples
         n_time = self.mesh.shape["time"]
         cfg = None
-        n = len(rs.stages)
-        if all(128 % st.Q == 0 for st in rs.stages):
-            k = n
-        else:
-            k = 0
-            while (k < n and 128 % rs.stages[k].Q == 0
-                   and rs.stages[k].Q % rs.stages[k].P == 0):
-                k += 1
+        k = split_point(rs.stages)
         if L % 128 == 0 and B % n_time == 0 and k > 0:
-            dense = k < n
+            dense = k < len(rs.stages)
             try:
                 taps = tuple(
-                    jnp.asarray(make_chain_taps(
-                        st.bank, st.P, st.Q,
-                        pp=(st.P if (i < k - 1 or dense) else None)))
-                    for i, st in enumerate(rs.stages[:k])
-                )
-                shapes = tuple(
-                    (st.P, st.Q, st.T, tp.shape[0], tp.shape[1], tp.shape[2])
-                    for st, tp in zip(rs.stages, taps)
-                )
+                    jnp.asarray(tp) for tp in front_taps(rs.stages, k))
+                shapes = taps_shapes(rs.stages, taps)
                 fused = rs.stages[:k]
-                t_front = 1 + sum(
-                    (st.T - 1) * (self.samplerate // st.in_rate)
-                    for st in fused)
-                cone = max(
-                    _cr(st.T) * 128 * (self.samplerate // st.in_rate)
-                    for st in fused)
-                need = 2 * (t_front - 1) + cone
+                need = cascade_replay_need(fused, self.samplerate)
                 b_loc = B // n_time
                 # replay span widened until the step geometry validates
                 # (matches make_cascade_channels_step's own search)
-                r_h = -(-need // L)
-                while (r_h <= b_loc and pick_cascade_blocks_per_step(
-                        r_h, L, shapes, final_dense=dense) is None):
-                    r_h += 1
+                r_h = widen_replay_span(need, L, b_loc, shapes,
+                                        final_dense=dense)
                 ok = (
                     pick_cascade_blocks_per_step(
                         b_loc, L, shapes, final_dense=dense) is not None
@@ -687,36 +668,24 @@ class MultiChannelPipeline:
             return None
         from doppler_tpu.ops.pallas.chain import (
             carry_rows,
-            make_chain_taps,
+            front_taps,
             mix_cascade_pallas_channels,
             pick_cascade_blocks_per_step,
+            split_point,
+            taps_shapes,
         )
 
         n = len(rs.stages)
         if self._cascade_w == "unset":
-            if all(128 % st.Q == 0 for st in rs.stages):
-                k = n
-            else:
-                k = 0
-                while (k < n and 128 % rs.stages[k].Q == 0
-                       and rs.stages[k].Q % rs.stages[k].P == 0):
-                    k += 1
-            self._cascade_k = k
+            k = self._cascade_k = split_point(rs.stages)
             self._cascade_w = None
             if k > 0:
                 dense = k < n
                 self._cascade_taps = tuple(
-                    jnp.asarray(make_chain_taps(
-                        st.bank, st.P, st.Q,
-                        pp=(st.P if (i < k - 1 or dense) else None)))
-                    for i, st in enumerate(rs.stages[:k])
-                )
+                    jnp.asarray(tp) for tp in front_taps(rs.stages, k))
                 self._cascade_stages = tuple(
                     (st.P, st.Q, st.T) for st in rs.stages[:k])
-                shapes = tuple(
-                    (st.P, st.Q, st.T, tp.shape[0], tp.shape[1], tp.shape[2])
-                    for st, tp in zip(rs.stages, self._cascade_taps)
-                )
+                shapes = taps_shapes(rs.stages, self._cascade_taps)
                 try:
                     self._cascade_w = pick_cascade_blocks_per_step(
                         B, L, shapes, final_dense=dense)

@@ -237,38 +237,23 @@ class Pipeline:
         L = self.block_samples
         if getattr(self, "_cascade_w", "unset") == "unset":
             from doppler_tpu.ops.pallas.chain import (
-                make_chain_taps,
+                front_taps,
                 pick_cascade_blocks_per_step,
+                split_point,
+                taps_shapes,
             )
 
             self._cascade_w = None
             self._cascade_k = len(rs.stages)
             if L % 128 == 0:
-                n = len(rs.stages)
-                if all(128 % st.Q == 0 for st in rs.stages):
-                    k = n
-                else:
-                    # longest lane-tiling integer-decimation prefix
-                    k = 0
-                    while (k < n and 128 % rs.stages[k].Q == 0
-                           and rs.stages[k].Q % rs.stages[k].P == 0):
-                        k += 1
-                self._cascade_k = k
+                k = self._cascade_k = split_point(rs.stages)
                 if k > 0:
-                    dense = k < n
+                    dense = k < len(rs.stages)
                     try:
-                        shapes = []
-                        for i, st in enumerate(rs.stages[:k]):
-                            inner = i < k - 1 or dense
-                            pp = st.P if inner else max(8, st.P)
-                            tp = make_chain_taps(
-                                st.bank, st.P, st.Q,
-                                pp=(st.P if inner else None))
-                            shapes.append(
-                                (st.P, st.Q, st.T,
-                                 tp.shape[0], tp.shape[1], pp))
+                        shapes = taps_shapes(
+                            rs.stages, front_taps(rs.stages, k))
                         self._cascade_w = pick_cascade_blocks_per_step(
-                            self.chunk_blocks, L, tuple(shapes),
+                            self.chunk_blocks, L, shapes,
                             final_dense=dense)
                     except ValueError:
                         self._cascade_w = None
@@ -293,56 +278,34 @@ class Pipeline:
             return False
         if getattr(self, "_cascade_mesh_ok_c", None) is None:
             from doppler_tpu.ops.pallas.chain import (
-                carry_rows as _cr,
-                make_chain_taps,
+                cascade_replay_need,
+                front_taps,
                 pick_cascade_blocks_per_step,
+                split_point,
+                taps_shapes,
+                widen_replay_span,
             )
 
             ok = False
             L = self.block_samples
             n_time = self.mesh.shape["time"]
-            n = len(rs.stages)
-            if all(128 % st.Q == 0 for st in rs.stages):
-                k = n
-            else:
-                k = 0
-                while (k < n and 128 % rs.stages[k].Q == 0
-                       and rs.stages[k].Q % rs.stages[k].P == 0):
-                    k += 1
+            k = split_point(rs.stages)
             if (L % 128 == 0 and self.chunk_blocks % n_time == 0
                     and k > 0):
-                dense = k < n
+                dense = k < len(rs.stages)
                 try:
-                    shapes = []
-                    for i, st in enumerate(rs.stages[:k]):
-                        inner = i < k - 1 or dense
-                        pp = st.P if inner else max(8, st.P)
-                        tp = make_chain_taps(
-                            st.bank, st.P, st.Q,
-                            pp=(st.P if inner else None))
-                        shapes.append(
-                            (st.P, st.Q, st.T, tp.shape[0], tp.shape[1], pp))
-                    fused = rs.stages[:k]
-                    t_front = 1 + sum(
-                        (st.T - 1) * (self.samplerate // st.in_rate)
-                        for st in fused)
-                    cone = max(
-                        _cr(st.T) * 128 * (self.samplerate // st.in_rate)
-                        for st in fused
-                    )
-                    need = 2 * (t_front - 1) + cone
+                    shapes = taps_shapes(rs.stages, front_taps(rs.stages, k))
+                    need = cascade_replay_need(
+                        rs.stages[:k], self.samplerate)
                     b_loc = self.chunk_blocks // n_time
                     # replay span: the cone in whole blocks, widened until
                     # the step geometry validates (extra real blocks stay
                     # bitwise; the step does the same search)
-                    r_h = -(-need // L)
-                    while (r_h <= b_loc and pick_cascade_blocks_per_step(
-                            r_h, L, tuple(shapes), final_dense=dense)
-                            is None):
-                        r_h += 1
+                    r_h = widen_replay_span(need, L, b_loc, shapes,
+                                            final_dense=dense)
                     ok = (
                         pick_cascade_blocks_per_step(
-                            b_loc, L, tuple(shapes), final_dense=dense)
+                            b_loc, L, shapes, final_dense=dense)
                         is not None
                         and r_h <= b_loc
                     )
@@ -358,22 +321,24 @@ class Pipeline:
         fallback chunk from each stage's mirrored FIR history).  Covers the
         first ``_cascade_k`` stages — all of them when fully fused, the
         ÷2^k front when split (the XLA tail keeps its own state)."""
-        from doppler_tpu.ops.pallas.chain import carry_rows, make_chain_taps
+        from doppler_tpu.ops.pallas.chain import (
+            carry_rows,
+            front_taps,
+            split_point,
+        )
 
         rs = self.resampler
         k = self._cascade_k
         if k is None:
             # mesh path: _cascade_mesh_ok (not _cascade_eligible) gated the
-            # dispatch, and it only admits fully fused cascades
-            k = self._cascade_k = len(rs.stages)
+            # dispatch; derive k with the shared rule instead of assuming
+            # fully fused (ADVICE r4: the mesh gate admits split cascades
+            # too, and the gates and carry seeding MUST agree on k)
+            k = self._cascade_k = split_point(rs.stages)
         dense = k < len(rs.stages)
         if getattr(self, "_cascade_taps", None) is None:
             self._cascade_taps = tuple(
-                jnp.asarray(make_chain_taps(
-                    st.bank, st.P, st.Q,
-                    pp=(st.P if (i < k - 1 or dense) else None)))
-                for i, st in enumerate(rs.stages[:k])
-            )
+                jnp.asarray(tp) for tp in front_taps(rs.stages, k))
             self._cascade_stages = tuple(
                 (st.P, st.Q, st.T) for st in rs.stages[:k])
         if getattr(self, "_cascade_carries", None) is None:

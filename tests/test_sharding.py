@@ -87,7 +87,7 @@ def test_mix_and_resample_sharding_equivalence(mesh42):
         [out[:, k, : counts[k], :] for k in range(n_time)], axis=1
     )
 
-    # reference: single-device mix, then the NumPy resample oracle per channel
+    # reference 1: single-device mix, then the NumPy resample oracle
     i, q = codec.i16_words_to_iq(jnp.asarray(words))
     i, q = nco.mix_blocks(i, q, *plan)
     mixed = (np.asarray(i) + 1j * np.asarray(q)).reshape(C, -1)
@@ -96,6 +96,34 @@ def test_mix_and_resample_sharding_equivalence(mesh42):
         assert got.shape[1] == len(want)
         err = np.abs((got[c, :, 0] + 1j * got[c, :, 1]) - want).max()
         assert err < 2e-5, (c, err)
+
+    # reference 2 (VERDICT r4 next #5): BITWISE vs the single-device
+    # window_dot formulation — the sharded step delegates to the same
+    # fixed-order reduction inside the same barrier-island program
+    # structure, so sharding must not change a single ulp.
+    from doppler_tpu.ops.resample import window_dot
+
+    @jax.jit
+    def mix_island(data, *plan):
+        i, q = codec.i16_words_to_iq(data)
+        i, q = nco.mix_blocks(i, q, *plan)
+        return jax.lax.optimization_barrier(jnp.stack([i, q], axis=-1))
+
+    @jax.jit
+    def resample_island(mi, mq):
+        hist = jnp.zeros((C, rs.T - 1), jnp.float32)
+        xi_full = jnp.concatenate([hist, mi], axis=-1)
+        xq_full = jnp.concatenate([hist, mq], axis=-1)
+        return window_dot(
+            xi_full, xq_full, jnp.asarray(rs.bank[:, ::-1].copy()),
+            jnp.int32(0), jnp.int32(0), P=rs.P, Q=rs.Q, T=rs.T,
+            M=sum(counts))
+
+    pairs = mix_island(jnp.asarray(words), *(jnp.asarray(a) for a in plan))
+    planar = pairs.reshape(C, -1, 2)
+    wi, wq = resample_island(planar[..., 0], planar[..., 1])
+    np.testing.assert_array_equal(got[..., 0], np.asarray(wi))
+    np.testing.assert_array_equal(got[..., 1], np.asarray(wq))
 
 
 def test_sharded_resample_valid_counts():

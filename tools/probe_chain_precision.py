@@ -85,7 +85,8 @@ def main() -> int:
             return out
         return step
 
-    variants = {"hi": make_step("highest"), "def": make_step("default")}
+    variants = {"hi": make_step("highest"), "def": make_step("default"),
+                "split3": make_step("split3")}
 
     # warm up / compile everything first
     for name, step in variants.items():
