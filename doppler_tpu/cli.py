@@ -618,6 +618,15 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                     "checkpoint at byte %d is outside this host's range "
                     "[%d, %d) or not chunk-aligned", resume_lo, lo, hi)
                 return 1
+            if resume_lo == hi and meta.get("drained"):
+                # this host already finished AND flushed the FIR tail in
+                # the checkpointed run; re-running would hit EOF instantly
+                # and append a duplicate tail to the .part file (the output
+                # opens in append mode) — a completed host is a no-op
+                # (ADVICE r4)
+                log.info("host %d checkpoint is complete (drained); "
+                         "nothing to do", dist_pid)
+                return 0
             lo = resume_lo
             log.info("host %d resumed at input sample %d",
                      dist_pid, meta["sample_offset"])

@@ -155,9 +155,17 @@ class MultiChannelPipeline:
         self._cascade_k = None        # fused-stage count (split point)
 
         # --mesh: channels × time-blocks SPMD (BASELINE config 5 topology).
-        # Bytes must match the unsharded run exactly.  Round 4: mixed
-        # per-channel rates dispatch per rate GROUP, and multi-stage
-        # cascades run the sharded channel-batched fused step.
+        # Byte contract (ADVICE r4 qualification): the mix-only and
+        # single-stage sharded steps match the unsharded run exactly; the
+        # sharded channel-batched CASCADE batches C_loc ≠ C channels
+        # across the XLA:CPU mix_tone contraction boundary, so on the CPU
+        # interpreter (tests, dryrun) it is pinned to ≤1 LSB vs unsharded
+        # (test_mesh_channels_cascade_and_split) — on real TPU Mosaic the
+        # per-channel programs are the same kernel and bytes are expected
+        # exact, but that is asserted by design argument, not CI (needs
+        # hardware; add a TPU-marked byte test when a chip mesh exists).
+        # Round 4: mixed per-channel rates dispatch per rate GROUP, and
+        # multi-stage cascades run the sharded channel-batched fused step.
         self.mesh = mesh
         self._sharded_steps: dict = {}       # (kind, group) → jitted step
         self._sharded_casc_cfg: dict = {}    # group → cascade cfg or None
@@ -241,7 +249,27 @@ class MultiChannelPipeline:
         return fields
 
     def process_chunk(self, chunk: streaming.Chunk):
-        """→ list of per-channel output byte strings."""
+        """→ list of per-channel output byte strings (dispatch + finalize)."""
+        return self.dispatch_chunk(chunk)()
+
+    def dispatch_chunk(self, chunk: streaming.Chunk):
+        """Host planning + async device dispatch → zero-arg finalizer.
+
+        The finalizer materializes the device output (the only blocking
+        sync) and converts it to per-channel byte strings.  ``run()``
+        finalizes chunk k−1 AFTER dispatching chunk k, so the host's
+        per-chunk planning (config-5 scale: ~28-45 ms for C=256×B=2048)
+        overlaps the device's execution of the previous chunk — the
+        1-deep software pipelining the single-stream Pipeline already has
+        (VERDICT r4 next #6: pinned by
+        tests/test_host_overlap.py).  All pipeline/resampler state is
+        advanced at dispatch time (host integers + lazy device arrays),
+        so finalizers are pure conversions and safe to defer one chunk.
+        """
+        res = self._dispatch_chunk(chunk)
+        return res if callable(res) else (lambda: res)
+
+    def _dispatch_chunk(self, chunk: streaming.Chunk):
         counts = [size // self._bps_in for size in chunk.block_sizes]
         total = sum(counts)
         C = len(self.channels)
@@ -290,17 +318,19 @@ class MultiChannelPipeline:
             return codec.f32_pairs_to_bytes(row)
 
         if no_resampling:
-            if self.outtype == "i16":
-                flat_out = np.asarray(out).reshape(C, -1)[:, :total]
-            else:
-                flat_out = np.asarray(out).reshape(C, -1, 2)[:, :total]
-            return [to_bytes(flat_out[c]) for c in range(C)]
+            def fin_mix(out=out):
+                if self.outtype == "i16":
+                    flat_out = np.asarray(out).reshape(C, -1)[:, :total]
+                else:
+                    flat_out = np.asarray(out).reshape(C, -1, 2)[:, :total]
+                return [to_bytes(flat_out[c]) for c in range(C)]
+            return fin_mix
 
         planar = out.reshape(C, -1, 2)
         # any future fused chunk must reseed its carries from rs history
         self._chain_carries = None
         self._cascade_carries = None
-        outs: list[bytes] = [b""] * C
+        deferred = []                 # (idxs, lazy device enc, n_out)
         for idxs, rs in self._groups:
             sel = jnp.asarray(idxs)
             sub_i = jnp.take(planar[..., 0], sel, axis=0)
@@ -313,10 +343,16 @@ class MultiChannelPipeline:
                     sub_i, sub_q, total, M=rs.max_out_for(B * L)
                 )
                 enc = _encode_kernel(yi, yq, outtype=self.outtype)
-            flat_out = np.asarray(enc)[:, :n_out]
-            for row, cidx in enumerate(idxs):
-                outs[cidx] = to_bytes(flat_out[row])
-        return outs
+            deferred.append((idxs, enc, n_out))
+
+        def fin_groups():
+            outs: list[bytes] = [b""] * C
+            for idxs, enc, n_out in deferred:
+                flat_out = np.asarray(enc)[:, :n_out]
+                for row, cidx in enumerate(idxs):
+                    outs[cidx] = to_bytes(flat_out[row])
+            return outs
+        return fin_groups
 
     def _casc_group_cfg(self, g: int, rs):
         """Cached per-group fused-cascade config for the sharded step:
@@ -429,7 +465,7 @@ class MultiChannelPipeline:
                 return codec.i16_words_to_bytes(row)
             return codec.f32_pairs_to_bytes(row)
 
-        outs: list[bytes] = [b""] * C
+        deferred = []                 # (idxs, closure → list[bytes] per row)
         for g, (idxs, rs) in enumerate(self._groups):
             C_g = len(idxs)
             fg = np.ascontiguousarray(fields[:, idxs, :])
@@ -442,12 +478,14 @@ class MultiChannelPipeline:
                         outtype=self.outtype, C=C_g)
                     self._sharded_steps[("mix", g)] = step
                 out = step(data, *plans)
-                if self.outtype == "i16":
-                    flat = np.asarray(out).reshape(C_g, -1)[:, :total]
-                else:
-                    flat = np.asarray(out).reshape(C_g, -1, 2)[:, :total]
-                for row, cidx in enumerate(idxs):
-                    outs[cidx] = to_bytes(flat[row])
+
+                def fin_mix(out=out, C_g=C_g):
+                    if self.outtype == "i16":
+                        flat = np.asarray(out).reshape(C_g, -1)[:, :total]
+                    else:
+                        flat = np.asarray(out).reshape(C_g, -1, 2)[:, :total]
+                    return [to_bytes(flat[row]) for row in range(C_g)]
+                deferred.append((idxs, fin_mix))
             elif getattr(rs, "bank", None) is not None:
                 step = self._sharded_steps.get(("rs", g))
                 if step is None:
@@ -469,20 +507,30 @@ class MultiChannelPipeline:
                 rs.in_consumed += total
                 rs._hist_i = tail_i[:, -1]
                 rs._hist_q = tail_q[:, -1]
-                arr = np.asarray(out)         # (C_g, n_time, M_max[, 2])
-                parts = [arr[:, t, :c] for t, c in enumerate(out_counts)]
-                flat = np.concatenate(parts, axis=1)
-                for row, cidx in enumerate(idxs):
-                    outs[cidx] = to_bytes(flat[row])
+
+                def fin_rs(out=out, out_counts=out_counts, C_g=C_g):
+                    arr = np.asarray(out)     # (C_g, n_time, M_max[, 2])
+                    parts = [arr[:, t, :c]
+                             for t, c in enumerate(out_counts)]
+                    flat = np.concatenate(parts, axis=1)
+                    return [to_bytes(flat[row]) for row in range(C_g)]
+                deferred.append((idxs, fin_rs))
             else:
-                outs_g = self._sharded_cascade_group(
+                fin_casc = self._sharded_cascade_group(
                     g, rs, idxs, planar, plans, total,
                     make_cascade_channels_step)
-                for row, cidx in enumerate(idxs):
-                    outs[cidx] = outs_g[row]
+                deferred.append((idxs, fin_casc))
         self._chain_carries = None
         self._cascade_carries = None
-        return outs
+
+        def finalize():
+            outs: list[bytes] = [b""] * C
+            for idxs, fin in deferred:
+                vals = fin()
+                for row, cidx in enumerate(idxs):
+                    outs[cidx] = vals[row]
+            return outs
+        return finalize
 
     def _stage_planar_from_staged(self, staged):
         """Interleaved (B, L, 2) f32 staging → planar (2, B, L)."""
@@ -536,30 +584,37 @@ class MultiChannelPipeline:
             st._hist_q = flat_c[:, 1, -h:]
             n_in = n_out_s
         if not dense:
-            host = np.asarray(out)
-            if self.outtype == "i16":
-                host = host.reshape(C_g, -1)[:, :n_in]
-                return [codec.i16_words_to_bytes(host[c])
-                        for c in range(C_g)]
-            from doppler_tpu.runtime import native
+            def fin_full(out=out, n_in=n_in, C_g=C_g):
+                host = np.asarray(out)
+                if self.outtype == "i16":
+                    host = host.reshape(C_g, -1)[:, :n_in]
+                    return [codec.i16_words_to_bytes(host[c])
+                            for c in range(C_g)]
+                from doppler_tpu.runtime import native
 
-            host = host.reshape(2, C_g, -1)
-            return [
-                codec.f32_pairs_to_bytes(native.planar_to_f32_pairs(
-                    host[0, c, :n_in], host[1, c, :n_in]))
-                for c in range(C_g)
-            ]
+                host = host.reshape(2, C_g, -1)
+                return [
+                    codec.f32_pairs_to_bytes(native.planar_to_f32_pairs(
+                        host[0, c, :n_in], host[1, c, :n_in]))
+                    for c in range(C_g)
+                ]
+            return fin_full
         # split: gathered front planes → batched XLA tail at 1/2^k rate
         planes = out.reshape(2, C_g, -1)
         yi, yq = planes[0], planes[1]
         for st in rs.stages[k:]:
             cap = int(yi.shape[-1])
             yi, yq, n_in = st.process(yi, yq, n_in, M=st.max_out_for(cap))
-        enc = np.asarray(_encode_kernel(yi, yq, outtype=self.outtype))
-        if self.outtype == "i16":
-            return [codec.i16_words_to_bytes(enc[c, :n_in])
+        enc = _encode_kernel(yi, yq, outtype=self.outtype)
+
+        def fin_split(enc=enc, n_in=n_in, C_g=C_g):
+            host = np.asarray(enc)
+            if self.outtype == "i16":
+                return [codec.i16_words_to_bytes(host[c, :n_in])
+                        for c in range(C_g)]
+            return [codec.f32_pairs_to_bytes(host[c, :n_in])
                     for c in range(C_g)]
-        return [codec.f32_pairs_to_bytes(enc[c, :n_in]) for c in range(C_g)]
+        return fin_split
 
     def _stage_planar(self, data: bytes):
         """Raw f32 chunk bytes → planar ``(2, B, L)`` planes (the Pallas
@@ -576,18 +631,27 @@ class MultiChannelPipeline:
         """Device output → per-channel byte strings.
 
         ``out``: (C, B, M) i16 words or (2, C, B, M) f32 planes."""
-        from doppler_tpu.runtime import native
+        return self._emit_channel_bytes_lazy(out, n_out)()
 
-        C = len(self.channels)
-        if self.outtype == "i16":
-            host = np.asarray(out).reshape(C, -1)[:, :n_out]
-            return [codec.i16_words_to_bytes(host[c]) for c in range(C)]
-        host = np.asarray(out).reshape(2, C, -1)
-        return [
-            codec.f32_pairs_to_bytes(native.planar_to_f32_pairs(
-                host[0, c, :n_out], host[1, c, :n_out]))
-            for c in range(C)
-        ]
+    def _emit_channel_bytes_lazy(self, out, n_out: int):
+        """Deferred form of :meth:`_emit_channel_bytes` — captures the lazy
+        device array; the returned closure performs the only blocking sync
+        (np.asarray), so dispatch paths can hand it to ``run()``'s 1-deep
+        pipeline."""
+        def fin():
+            from doppler_tpu.runtime import native
+
+            C = len(self.channels)
+            if self.outtype == "i16":
+                host = np.asarray(out).reshape(C, -1)[:, :n_out]
+                return [codec.i16_words_to_bytes(host[c]) for c in range(C)]
+            host = np.asarray(out).reshape(2, C, -1)
+            return [
+                codec.f32_pairs_to_bytes(native.planar_to_f32_pairs(
+                    host[0, c, :n_out], host[1, c, :n_out]))
+                for c in range(C)
+            ]
+        return fin
 
     def _try_chain(self, staged, fields, total: int, data: bytes):
         """Fused Pallas chain per channel (impl='pallas', uniform-rate
@@ -646,7 +710,7 @@ class MultiChannelPipeline:
             flat_c = self._chain_carries.reshape(C, 2, -1)
             rs._hist_i = flat_c[:, 0, -h:]
             rs._hist_q = flat_c[:, 1, -h:]
-        return self._emit_channel_bytes(out, n_out)
+        return self._emit_channel_bytes_lazy(out, n_out)
 
     def _try_cascade(self, staged, fields, total: int, data: bytes):
         """Channel-batched fused cascade: impl='pallas' + uniform-rate
@@ -733,7 +797,7 @@ class MultiChannelPipeline:
                 st._hist_q = flat_c[:, 1, -h:]
             n_in = n_out
         if not split:
-            return self._emit_channel_bytes(out, n_in)
+            return self._emit_channel_bytes_lazy(out, n_in)
         # split: fused front planes (2, C, B, M_mid) → batched XLA tail
         planes = out.reshape(2, C, -1)
         yi, yq = planes[0], planes[1]
@@ -741,12 +805,15 @@ class MultiChannelPipeline:
             cap = int(yi.shape[-1])
             yi, yq, n_in = st.process(yi, yq, n_in, M=st.max_out_for(cap))
         enc = _encode_kernel(yi, yq, outtype=self.outtype)
-        host = np.asarray(enc)
-        if self.outtype == "i16":
-            return [codec.i16_words_to_bytes(host[c, :n_in])
+
+        def fin_split_tail(enc=enc, n_in=n_in):
+            host = np.asarray(enc)
+            if self.outtype == "i16":
+                return [codec.i16_words_to_bytes(host[c, :n_in])
+                        for c in range(C)]
+            return [codec.f32_pairs_to_bytes(host[c, :n_in])
                     for c in range(C)]
-        return [codec.f32_pairs_to_bytes(host[c, :n_in])
-                for c in range(C)]
+        return fin_split_tail
 
     def drain(self) -> list[bytes]:
         """Flush every resampler group's FIR tail with T−1 zero samples —
@@ -774,28 +841,45 @@ class MultiChannelPipeline:
         return outs
 
     def run(self, fin, writers, should_stop=None) -> Counters:
-        """Pump the stream; ``writers`` is one binary file object per channel."""
+        """Pump the stream; ``writers`` is one binary file object per channel.
+
+        One-chunk-deep software pipelining (mirrors ``Pipeline.run``):
+        chunk k+1 is planned and dispatched before chunk k's output is
+        materialized, hiding the host's per-chunk planning (~28-45 ms at
+        config-5's C=256×B=2048) behind the device's execution of the
+        previous chunk.
+        """
         assert len(writers) == len(self.channels)
         reader = streaming.BlockReader(fin, self.block_bytes)
         counters = Counters()
-        while True:
-            if should_stop is not None and should_stop():
-                break
-            chunk = reader.read_chunk(self.chunk_blocks)
-            outs = self.process_chunk(chunk)
+
+        def emit(fin_cb, bytes_in, blocks):
+            outs = fin_cb()
             for w, ob in zip(writers, outs):
                 if ob:
                     w.write(ob)
             counters.add(
-                samples=len(chunk.data) // self._bps_in,
-                bytes_in=len(chunk.data),
+                samples=bytes_in // self._bps_in,
+                bytes_in=bytes_in,
                 bytes_out=sum(len(ob) for ob in outs),
-                blocks=chunk.n_blocks,
+                blocks=blocks,
             )
+
+        pending = None
+        pending_meta = (0, 0)
+        while True:
+            if should_stop is not None and should_stop():
+                break
+            chunk = reader.read_chunk(self.chunk_blocks)
+            new_pending = self.dispatch_chunk(chunk)
+            if pending is not None:
+                emit(pending, *pending_meta)
+            pending = new_pending
+            pending_meta = (len(chunk.data), chunk.n_blocks)
             if chunk.eof:
                 break
-        else:  # pragma: no cover — loop exits via break only
-            pass
+        if pending is not None:
+            emit(pending, *pending_meta)
         if self.drain_on_eof:
             for w, ob in zip(writers, self.drain()):
                 if ob:

@@ -67,6 +67,10 @@ def save(path: str, pipe) -> None:
         "sample_offset": pipe._sample_offset,
         "scheduler": _scheduler_state(pipe.scheduler),
         "has_resampler": pipe.resampler is not None,
+        # True when the checkpointed run reached EOF and flushed the FIR
+        # tail: a restart must not run (and drain) again, or the duplicate
+        # tail bytes get appended to the part file (ADVICE r4)
+        "drained": bool(getattr(pipe, "_drained", False)),
     }
     arrays = {"meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)}
     if pipe.resampler is not None:

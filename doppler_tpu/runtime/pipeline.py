@@ -125,6 +125,7 @@ class Pipeline:
         self.impl = impl
         self.pallas_interpret = pallas_interpret  # CPU testing of pallas paths
         self.drain_on_eof = drain_on_eof  # flush the FIR tail with zeros at EOF
+        self._drained = False  # did THIS run reach EOF and flush the tail?
         self.prefetch_chunks = int(prefetch_chunks)  # staged-read queue depth
         self.nco_state = NCOState()   # the stream's entire resumable DSP state
 
@@ -1108,7 +1109,8 @@ class Pipeline:
         emit(pending, *pending_meta)
         if self.resampler is not None and self.drain_on_eof:
             out_bytes = self._drain()
-            if out_bytes:
+            self._drained = True   # checkpointed: a resumed run must not
+            if out_bytes:          # append the FIR tail a second time
                 fout.write(out_bytes)
                 counters.add(
                     samples=len(out_bytes) // self._bps_out,

@@ -321,14 +321,27 @@ def test_two_process_elastic_checkpoint_restart(tmp_path):
     assert (tmp_path / "ck.npz.h0").exists()
     assert (tmp_path / "ck.npz.h1").exists()
 
-    # round 2: both hosts restart from their checkpoints (fresh coordinator)
-    procs = spawn_round(["--load-state", str(ck)])
+    # round 2: both hosts restart from their checkpoints (fresh
+    # coordinator), re-checkpointing on completion
+    procs = spawn_round(["--load-state", str(ck), "--save-state", str(ck)])
     outs = [p.communicate(timeout=420) for p in procs]
     for p, (_, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-3000:]
 
     got = part0.read_bytes() + (tmp_path / "out.iq.part1").read_bytes()
     assert got == single.read_bytes() and len(got) > 0
+
+    # round 3 (ADVICE r4): re-running --load-state against checkpoints
+    # written AFTER completion (resume_lo == hi, drained) must be a no-op —
+    # the old behavior hit EOF instantly, drained AGAIN, and appended a
+    # duplicate FIR tail to the .part file
+    procs = spawn_round(["--load-state", str(ck)])
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (_, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-3000:]
+    got = part0.read_bytes() + (tmp_path / "out.iq.part1").read_bytes()
+    assert got == single.read_bytes(), \
+        "completed-checkpoint restart appended bytes (duplicate drain)"
 
 
 def test_two_process_channels_elastic_checkpoint(tmp_path):
