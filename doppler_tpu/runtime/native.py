@@ -64,6 +64,10 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.c_uint32, ctypes.c_float, ctypes.c_uint32,
                 ctypes.c_void_p, ctypes.c_void_p]
+            lib.dt_reference_counter_blocks.restype = ctypes.c_uint32
+            lib.dt_reference_counter_blocks.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_uint32, ctypes.c_uint32, ctypes.c_void_p]
             _lib = lib
         except OSError:
             _lib = False
@@ -184,6 +188,30 @@ def reference_mix(
         (i + 1j * q).astype(np.complex64), samplenum, shift_hz, samplerate
     )
     return mixed.real.copy(), mixed.imag.copy(), sn
+
+
+def reference_counter_blocks(
+    shifts: np.ndarray, counts: np.ndarray, samplenum: int, samplerate: int
+) -> tuple[np.ndarray, int]:
+    """Advance the reference's samplenum counter through a per-block shift
+    schedule (counter-only dsp.rs:117-134 loop — the long-stream soak's
+    golden model).  Returns ``(per_block_start_counters, end_counter)``.
+    Requires the native library (no NumPy fallback: a 2^32-sample soak is
+    not feasible at scalar-Python speed) — callers should skip when
+    :func:`available` is False.
+    """
+    lib = _load()
+    if not lib:
+        raise RuntimeError("native library unavailable")
+    shifts = np.ascontiguousarray(shifts, dtype=np.float32)
+    counts = np.ascontiguousarray(counts, dtype=np.uint32)
+    out = np.empty(shifts.size, dtype=np.uint32)
+    end = lib.dt_reference_counter_blocks(
+        shifts.ctypes.data, counts.ctypes.data, shifts.size,
+        ctypes.c_uint32(samplenum), ctypes.c_uint32(samplerate),
+        out.ctypes.data,
+    )
+    return out, int(end)
 
 
 # ---------------------------------------------------------------------------

@@ -91,4 +91,29 @@ uint32_t dt_reference_mix(const float* i_in, const float* q_in, size_t n,
     return sn;
 }
 
+// Counter-only form of the reference loop over a per-block shift schedule
+// (track mode threads ONE samplenum through every block, main.rs:177):
+// advances sn through counts[b] samples at shifts[b] per block, recording
+// each block's STARTING counter in out_sn.  Same f32 arithmetic as
+// dt_reference_mix's update, minus the cos/sin — ~4 ops/sample, so a
+// 2^32-sample soak (tests/test_soak_counter.py) runs in seconds instead of
+// the mix loop's minutes.
+uint32_t dt_reference_counter_blocks(const float* shifts,
+                                     const uint32_t* counts, size_t nblocks,
+                                     uint32_t samplenum, uint32_t samplerate,
+                                     uint32_t* out_sn) {
+    uint32_t sn = samplenum;
+    for (size_t b = 0; b < nblocks; ++b) {
+        if (out_sn) out_sn[b] = sn;
+        const float ratio = shifts[b] / (float)samplerate;
+        const uint32_t n = counts[b];
+        for (uint32_t k = 0; k < n; ++k) {
+            float prod = ratio * (float)sn;
+            float frac = prod - truncf(prod);
+            sn = (frac == 0.0f) ? 1u : sn + 1u;
+        }
+    }
+    return sn;
+}
+
 }  // extern "C"
