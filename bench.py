@@ -48,6 +48,9 @@ def main() -> int:
                          "vs time=1 (the BASELINE scaling-efficiency row)")
     ap.add_argument("--samples", type=int, default=1 << 25)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--precision", choices=["exact", "fast"], default="exact",
+                    help="chain-pallas only: 'fast' = the 3-pass bf16-split "
+                         "MXU scheme (~90 dB vs exact, +6%% measured)")
     ap.add_argument(
         "--dispatches", type=int, default=64,
         help="kernel dispatches per timed iteration (steady-state streaming "
@@ -145,20 +148,28 @@ def main() -> int:
         metric = "nco_mix_pallas_i16_samples_per_s_chip"
     elif args.mode == "chain-pallas":
         from doppler_tpu.ops.pallas.chain import (
+            carry_rows,
             make_chain_taps,
-            mix_resample_chain_pallas,
+            mix_resample_chain_pallas_stream,
         )
 
         chain_taps = jax.device_put(
             jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q))
         )
+        carry0 = jax.device_put(
+            jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32))
+        dot_prec = "split3" if args.precision == "fast" else "highest"
 
         def step(data, *plan):
-            return mix_resample_chain_pallas(
-                data, *plan, chain_taps, P=rs.P, Q=rs.Q, T=rs.T
+            out, _ = mix_resample_chain_pallas_stream(
+                data, *plan, chain_taps, carry0, P=rs.P, Q=rs.Q, T=rs.T,
+                dot_precision=dot_prec,
             )
+            return out
 
-        metric = "mix_resample_chain_pallas_i16_samples_per_s_chip"
+        metric = ("mix_resample_chain_pallas_i16_samples_per_s_chip"
+                  if args.precision == "exact" else
+                  "mix_resample_chain_fast_i16_samples_per_s_chip")
     elif args.mode == "cascade-pallas":
         # fully fused multi-stage cascade (halfbands + final rational) —
         # the arbitrary-heavy-decimation answer: intermediates never leave

@@ -142,6 +142,13 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
                         "dtypes they don't cover), 'xla' forces the XLA "
                         "graphs, 'auto' (default) = pallas on TPU, xla on "
                         "CPU")
+    p.add_argument("--precision", choices=["exact", "fast"], default="exact",
+                   help="resampler matmul precision: 'exact' (default) is "
+                        "the 6-pass f32 formulation (≤1 LSB vs the oracle); "
+                        "'fast' uses the 3-pass bf16-split MXU scheme on the "
+                        "fused single-stage chain (+6%% measured on v5e, "
+                        "~90 dB vs exact — far inside the reference's own "
+                        "f32 phase noise)")
     p.add_argument("--drain", action="store_true",
                    help="flush the resampler FIR tail with zeros at EOF")
     p.add_argument("--log-format", choices=["fern", "json"], default="fern",
@@ -565,6 +572,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
             drain_on_eof=args.drain,
             prefetch_chunks=args.prefetch_chunks,
             mesh=mesh,
+            precision=args.precision,
         )
         if args.resample_to is not None:
             from doppler_tpu.ops.resample import attach_resampler

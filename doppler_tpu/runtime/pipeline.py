@@ -108,6 +108,7 @@ class Pipeline:
         drain_on_eof: bool = False,
         prefetch_chunks: int = 0,
         mesh=None,
+        precision: str = "exact",
     ):
         if samplerate <= 0:
             raise ValueError("samplerate must be positive")
@@ -124,6 +125,17 @@ class Pipeline:
             raise ValueError(f"impl must be 'xla' or 'pallas', got {impl!r}")
         self.impl = impl
         self.pallas_interpret = pallas_interpret  # CPU testing of pallas paths
+        if precision not in ("exact", "fast"):
+            raise ValueError(
+                f"precision must be 'exact' or 'fast', got {precision!r}")
+        # 'fast' = the chain's 3-pass bf16-split MXU scheme (dot_precision
+        # ='split3', ops/pallas/chain.py): measured +6% on the v5e at ~90 dB
+        # vs the exact kernel (≤1 LSB) — far inside the reference's own f32
+        # phase-noise bound, but NOT the ≤1-LSB-with-<1%-diffs oracle
+        # contract, hence opt-in.  Applies to the unsharded single-stage
+        # Pallas chain; other paths keep the exact formulation.
+        self.precision = precision
+        self._chain_dot = "split3" if precision == "fast" else "highest"
         self.drain_on_eof = drain_on_eof  # flush the FIR tail with zeros at EOF
         self._drained = False  # did THIS run reach EOF and flush the tail?
         self.prefetch_chunks = int(prefetch_chunks)  # staged-read queue depth
@@ -857,6 +869,7 @@ class Pipeline:
                 taps, self._chain_carry, P=rs.P, Q=rs.Q, T=rs.T,
                 interpret=self.pallas_interpret,
                 intype=self.intype, outtype=self.outtype,
+                dot_precision=self._chain_dot,
             )
             n_out = self._advance_chain_state(total, self._chain_carry)
             return (out, n_out, self.outtype == "f32")

@@ -179,3 +179,51 @@ def test_mix_large_n_still_tracks_ideal():
     x = np.ones(4096, dtype=np.complex64)
     got = run_mix_abs(x, shift, fs, n0=n0)
     assert np.abs(got - ideal).max() < 1e-5
+
+
+def test_sincos_fold_bitwise_vs_select_chain():
+    """The round-5 XOR sign-fold quadrant formulation must be bitwise
+    identical to the original select-chain over ALL 2^24 phase words —
+    the tone is THE shared numerical contract of every mixer path, so a
+    single differing ulp would shift bytes everywhere."""
+    import jax
+    import jax.numpy as jnp
+
+    from doppler_tpu.ops.sincos import sincos_q24_neg
+
+    def select_chain(q24):
+        quad = q24 >> 22
+        frac = (q24 & jnp.int32(0x3FFFFF)).astype(jnp.float32)
+        x = frac * jnp.float32((np.pi / 2) * 2.0 ** -22)
+        x2 = x * x
+        s_p = x * (
+            jnp.float32(0.9999999660) + x2 * (
+                jnp.float32(-0.1666665247) + x2 * (
+                    jnp.float32(0.0083330520) + x2 * (
+                        jnp.float32(-0.0001980742)
+                        + x2 * jnp.float32(2.6019031e-06)))))
+        c_p = jnp.float32(1.0) + x2 * (
+            jnp.float32(-0.4999999963) + x2 * (
+                jnp.float32(0.0416666418) + x2 * (
+                    jnp.float32(-0.0013888397) + x2 * (
+                        jnp.float32(0.0000247609)
+                        + x2 * jnp.float32(-2.605e-07)))))
+        k0 = quad == 0
+        k1 = quad == 1
+        k2 = quad == 2
+        cos_u = jnp.where(k0, c_p,
+                          jnp.where(k1, -s_p, jnp.where(k2, -c_p, s_p)))
+        sin_u = jnp.where(k0, s_p,
+                          jnp.where(k1, c_p, jnp.where(k2, -s_p, -c_p)))
+        return cos_u, -sin_u
+
+    f_old = jax.jit(select_chain)
+    f_new = jax.jit(sincos_q24_neg)
+    bits = lambda a: np.asarray(  # noqa: E731
+        jax.lax.bitcast_convert_type(a, jnp.int32))
+    for lo in range(0, 1 << 24, 1 << 22):
+        q = jnp.arange(lo, lo + (1 << 22), dtype=jnp.int32)
+        c0, s0 = f_old(q)
+        c1, s1 = f_new(q)
+        assert np.array_equal(bits(c0), bits(c1)), lo
+        assert np.array_equal(bits(s0), bits(s1)), lo

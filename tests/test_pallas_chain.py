@@ -426,3 +426,72 @@ def test_channel_batched_divergence_is_fma_ambiguity():
     # test_channel_batched_chain_matches_per_channel.
     assert ndiff <= 3 * C * 2 * words.size // 10, \
         f"cross-shape diffs beyond plausible contraction noise: {ndiff}"
+
+
+def test_chain_split3_precision_bound_and_w_invariance():
+    """'fast' precision (dot_precision='split3', the 3-pass bf16-split MXU
+    scheme): ≤1 LSB and ≥80 dB vs the exact kernel, with bitwise
+    blocks_per_step invariance (W only regroups the same 3-dot-per-slice
+    accumulation sequence, exactly like the exact kernel's widening)."""
+    from doppler_tpu.ops.pallas.chain import (
+        carry_rows,
+        mix_resample_chain_pallas_stream,
+    )
+
+    B, L = 8, 4096
+    rs = RationalResampler(FS, 48000)
+    taps = make_chain_taps(rs.bank, rs.P, rs.Q)
+    words = RNG.integers(-(1 << 31), 1 << 31, size=(B, L),
+                         dtype=np.int64).astype(np.int32)
+    plan = plan_blocks([9000.0 - 3.0 * k for k in range(B)], [L] * B, FS,
+                       NCOState(), L)
+    arrs = (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t)
+    carry0 = jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32)
+
+    def run(prec, w=None):
+        out, _ = mix_resample_chain_pallas_stream(
+            jnp.asarray(words), *arrs, taps, carry0, P=rs.P, Q=rs.Q,
+            T=rs.T, interpret=True, dot_precision=prec, blocks_per_step=w)
+        return np.asarray(out)
+
+    exact = run("highest")
+    fast = run("split3")
+    ge, we = (np.frombuffer(codec.i16_words_to_bytes(a.reshape(-1)),
+                            dtype="<i2").astype(np.int32)
+              for a in (fast, exact))
+    d = np.abs(ge - we)
+    assert d.max() <= 1, d.max()
+    err = (ge - we) / 32768.0
+    sig = we / 32768.0
+    snr = 10 * np.log10((sig ** 2).mean() / max((err ** 2).mean(), 1e-30))
+    assert snr > 80.0, snr
+
+    # W-invariance: bitwise identical for every valid blocks_per_step
+    for w in (1, 2, 4, 8):
+        np.testing.assert_array_equal(fast, run("split3", w=w))
+
+
+def test_cli_precision_fast_smoke(tmp_path):
+    """--precision fast end-to-end through the CLI (CPU interpret): output
+    within ≤1 LSB of the exact run, identical length."""
+    import subprocess
+    import sys
+
+    raw = RNG.integers(-(1 << 15), 1 << 15, size=2 * 8192 * 16,
+                       dtype=np.int64).astype("<i2").tobytes()
+    outs = {}
+    for prec in ("exact", "fast"):
+        p = subprocess.run(
+            [sys.executable, "-m", "doppler_tpu.cli", "const",
+             "-s", "1024000", "-i", "i16", "--shift", "-9000",
+             "--resample-to", "48000", "--resample-stages", "single",
+             "--impl", "pallas", "--platform", "cpu",
+             "--precision", prec],
+            input=raw, capture_output=True, timeout=300)
+        assert p.returncode == 0, p.stderr.decode()[-2000:]
+        outs[prec] = p.stdout
+    a = np.frombuffer(outs["exact"], dtype="<i2").astype(np.int32)
+    b = np.frombuffer(outs["fast"], dtype="<i2").astype(np.int32)
+    assert a.size == b.size and a.size > 0
+    assert np.abs(a - b).max() <= 1

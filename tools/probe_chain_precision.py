@@ -88,6 +88,115 @@ def main() -> int:
     variants = {"hi": make_step("highest"), "def": make_step("default"),
                 "split3": make_step("split3")}
 
+    if True:  # tone quadrant formulation A/B (VERDICT r4 next #1b)
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from doppler_tpu.ops.pallas.chain import (
+            _pick_chain_blocks_per_step,
+            _pick_group_cols,
+        )
+        from doppler_tpu.ops.pallas.mixer import phase_q24
+        from doppler_tpu.ops.sincos import mix_tone, sincos_q24_neg
+
+        def sincos_fold(q24):
+            quad = q24 >> 22
+            frac = (q24 & jnp.int32(0x3FFFFF)).astype(jnp.float32)
+            x = frac * jnp.float32((np.pi / 2) * 2.0 ** -22)
+            x2 = x * x
+            s_p = x * (
+                jnp.float32(0.9999999660) + x2 * (
+                    jnp.float32(-0.1666665247) + x2 * (
+                        jnp.float32(0.0083330520) + x2 * (
+                            jnp.float32(-0.0001980742)
+                            + x2 * jnp.float32(2.6019031e-06)))))
+            c_p = jnp.float32(1.0) + x2 * (
+                jnp.float32(-0.4999999963) + x2 * (
+                    jnp.float32(0.0416666418) + x2 * (
+                        jnp.float32(-0.0013888397) + x2 * (
+                            jnp.float32(0.0000247609)
+                            + x2 * jnp.float32(-2.605e-07)))))
+            swap = (quad & jnp.int32(1)) == 1
+            pick_c = jnp.where(swap, s_p, c_p)
+            pick_s = jnp.where(swap, c_p, s_p)
+            signc = jnp.left_shift((quad + jnp.int32(1)) & jnp.int32(2), 30)
+            signs = jnp.left_shift((quad & jnp.int32(2)) ^ jnp.int32(2), 30)
+            ci = jax.lax.bitcast_convert_type(pick_c, jnp.int32) ^ signc
+            si = jax.lax.bitcast_convert_type(pick_s, jnp.int32) ^ signs
+            return (jax.lax.bitcast_convert_type(ci, jnp.float32),
+                    jax.lax.bitcast_convert_type(si, jnp.float32))
+
+        LB, S = L // 1, L // 128
+        taps8 = chain_taps
+        n_sub, _, PP = taps8.shape
+        CC = n_sub * PP
+        Wc = _pick_chain_blocks_per_step(B, L, rs.T, CC)
+        A = Wc * S
+        G = A // _pick_group_cols(A, CC)
+
+        def make_mix_kernel(tone_fn):
+            def kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r,
+                       t_r, words_ref, out_ref):
+                b = pl.program_id(0)
+                j = (jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 0)
+                     * jnp.uint32(128)
+                     + jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 1))
+                scale = jnp.float32(1.0 / 32768.0)
+                mis, mqs = [], []
+                for wi in range(Wc):
+                    k = b * Wc + wi
+                    w = words_ref[wi]
+                    fi = (jnp.left_shift(w, 16) >> 16).astype(
+                        jnp.float32) * scale
+                    fq = (w >> 16).astype(jnp.float32) * scale
+                    q24 = phase_q24(j, d_hi_r[k], d_lo_r[k],
+                                    c1_hi_r[k], c1_lo_r[k],
+                                    c2_hi_r[k], c2_lo_r[k], t_r[k],
+                                    small_j=(S * 128 <= 65536))
+                    c, s_ = tone_fn(q24)
+                    oi, oq = mix_tone(fi, fq, c, s_)
+                    mis.append(oi)
+                    mqs.append(oq)
+                mi = jnp.concatenate(mis, axis=0)
+                mq = jnp.concatenate(mqs, axis=0)
+
+                def enc(v):
+                    w_ = jnp.trunc(v * jnp.float32(32767.0))
+                    w_ = jnp.clip(w_, jnp.float32(-32768.0),
+                                  jnp.float32(32767.0))
+                    return w_.astype(jnp.int32)
+
+                out_ref[0] = ((enc(mi[:G]) & jnp.int32(0xFFFF))
+                              | jnp.left_shift(enc(mq[:G]), 16))
+            return kernel
+
+        def mix_shape_run(tone_fn):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=7,
+                grid=(B // Wc,),
+                in_specs=[pl.BlockSpec((Wc, S, 128), lambda b, *_: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, G, 128), lambda b, *_: (b, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            )
+
+            @jax.jit
+            def run(x, *plans):
+                return pl.pallas_call(
+                    make_mix_kernel(tone_fn),
+                    grid_spec=grid_spec,
+                    out_shape=jax.ShapeDtypeStruct((B // Wc, G, 128),
+                                                   jnp.int32),
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("arbitrary",)),
+                    interpret=interp,
+                )(*(jnp.asarray(p, jnp.uint32) for p in plans),
+                  x.reshape(B, S, 128))
+            return run
+
+        variants["mix-select"] = mix_shape_run(sincos_q24_neg)
+        variants["mix-fold"] = mix_shape_run(sincos_fold)
+
     # warm up / compile everything first
     for name, step in variants.items():
         t0 = time.perf_counter()
