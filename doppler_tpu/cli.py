@@ -146,9 +146,10 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
                    help="resampler matmul precision: 'exact' (default) is "
                         "the 6-pass f32 formulation (≤1 LSB vs the oracle); "
                         "'fast' uses the 3-pass bf16-split MXU scheme on the "
-                        "fused single-stage chain (+6%% measured on v5e, "
-                        "~90 dB vs exact — far inside the reference's own "
-                        "f32 phase noise)")
+                        "fused unsharded single-stage chain (+6%% measured "
+                        "on v5e, ~90 dB vs exact — far inside the "
+                        "reference's own f32 phase noise); cascades measure "
+                        "no gain and keep exact, as do mesh/channels paths")
     p.add_argument("--drain", action="store_true",
                    help="flush the resampler FIR tail with zeros at EOF")
     p.add_argument("--log-format", choices=["fern", "json"], default="fern",

@@ -725,7 +725,7 @@ def cascade_dims(L: int, W: int, stage_shapes,
 
 
 def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16",
-                         channels=False):
+                         channels=False, dot_precision="highest"):
     SL = L // 128
     nstg = len(dims)
 
@@ -799,22 +799,61 @@ def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16",
                 carry_out_refs[si][0] = rows_i[A - HBR:]
                 carry_out_refs[si][1] = rows_q[A - HBR:]
 
-            if D == 1:
-                r3i = full_i[:, None, :]
-                r3q = full_q[:, None, :]
+            if dot_precision == "split3":
+                # per-stage 3-pass bf16-split (see the chain kernel's
+                # split3 branch for the scheme and the exactness bound);
+                # each stage's taps_ref carries t_h rows then t_l rows
+                def _split(v):
+                    h = v.astype(jnp.bfloat16).astype(jnp.float32)
+                    l = (v - h).astype(jnp.bfloat16).astype(jnp.float32)
+                    return h, l
+
+                fi_h, fi_l = _split(full_i)
+                fq_h, fq_l = _split(full_q)
+                if D == 1:
+                    r3 = [v[:, None, :] for v in (fi_h, fi_l, fq_h, fq_l)]
+                else:
+                    r3 = [v.reshape(-1, D, 128)
+                          for v in (fi_h, fi_l, fq_h, fq_l)]
+                r3i_h, r3i_l, r3q_h, r3q_l = r3
+                NS128 = st["NSLICE"] * 128
+                acc = jnp.zeros((2 * G, D * st["CC"]), jnp.float32)
+                for rp in range(st["NSLICE"]):
+                    q_, d_ = divmod(rp, D)
+                    x_h = jnp.concatenate(
+                        [r3i_h[q_:q_ + G, d_, :], r3q_h[q_:q_ + G, d_, :]],
+                        axis=0)
+                    x_l = jnp.concatenate(
+                        [r3i_l[q_:q_ + G, d_, :], r3q_l[q_:q_ + G, d_, :]],
+                        axis=0)
+                    t_h = taps_refs[si][128 * rp:128 * (rp + 1), :]
+                    t_l = taps_refs[si][NS128 + 128 * rp:
+                                        NS128 + 128 * (rp + 1), :]
+                    acc = acc + (
+                        jnp.dot(x_h, t_h, preferred_element_type=jnp.float32)
+                        + jnp.dot(x_h, t_l,
+                                  preferred_element_type=jnp.float32)
+                        + jnp.dot(x_l, t_h,
+                                  preferred_element_type=jnp.float32)
+                    )
             else:
-                r3i = full_i.reshape(-1, D, 128)
-                r3q = full_q.reshape(-1, D, 128)
-            acc = jnp.zeros((2 * G, D * st["CC"]), jnp.float32)
-            for rp in range(st["NSLICE"]):
-                q_, d_ = divmod(rp, D)
-                x_r = jnp.concatenate(
-                    [r3i[q_:q_ + G, d_, :], r3q[q_:q_ + G, d_, :]], axis=0)
-                acc = acc + jnp.dot(
-                    x_r, taps_refs[si][128 * rp:128 * (rp + 1), :],
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                if D == 1:
+                    r3i = full_i[:, None, :]
+                    r3q = full_q[:, None, :]
+                else:
+                    r3i = full_i.reshape(-1, D, 128)
+                    r3q = full_q.reshape(-1, D, 128)
+                acc = jnp.zeros((2 * G, D * st["CC"]), jnp.float32)
+                for rp in range(st["NSLICE"]):
+                    q_, d_ = divmod(rp, D)
+                    x_r = jnp.concatenate(
+                        [r3i[q_:q_ + G, d_, :], r3q[q_:q_ + G, d_, :]],
+                        axis=0)
+                    acc = acc + jnp.dot(
+                        x_r, taps_refs[si][128 * rp:128 * (rp + 1), :],
+                        preferred_element_type=jnp.float32,
+                        precision=_DOT_PRECISIONS[dot_precision],
+                    )
             if not st["last"]:
                 rows_i = acc[:G]          # dense (G, 128) stream rows
                 rows_q = acc[G:]
@@ -951,12 +990,14 @@ def widen_replay_span(need: int, L: int, b_loc: int, stage_shapes,
 
 @functools.partial(
     jax.jit, static_argnames=("stages", "interpret", "blocks_per_step",
-                              "intype", "outtype", "final_dense")
+                              "intype", "outtype", "final_dense",
+                              "dot_precision")
 )
 def mix_cascade_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo,
                               t, taps, carries, *, stages, interpret=False,
                               blocks_per_step=None, intype="i16",
-                              outtype="i16", final_dense=False):
+                              outtype="i16", final_dense=False,
+                              dot_precision="highest"):
     """Streaming fused mix + multi-stage resample cascade.
 
     ``stages``: static tuple of per-stage ``(P, Q, T)``; ``taps``: matching
@@ -1013,6 +1054,10 @@ def mix_cascade_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo,
         tm = jnp.transpose(jnp.asarray(taps[i]), (1, 0, 2)).reshape(
             st["R"] * 128, st["CC"])
         tw = wide_chain_taps(tm, st["D"])
+        if dot_precision == "split3":
+            t_h = tw.astype(jnp.bfloat16).astype(jnp.float32)
+            t_l = (tw - t_h).astype(jnp.bfloat16).astype(jnp.float32)
+            tw = jnp.concatenate([t_h, t_l], axis=0)
         taps_wide.append(tw)
         taps_specs.append(
             pl.BlockSpec(tw.shape, lambda b, *_: (0, 0),
@@ -1031,7 +1076,8 @@ def mix_cascade_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo,
                         for st in dims],
     )
     outs = pl.pallas_call(
-        _make_cascade_kernel(L, W, dims, intype, outtype),
+        _make_cascade_kernel(L, W, dims, intype, outtype,
+                             dot_precision=dot_precision),
         grid_spec=grid_spec,
         out_shape=tuple(
             [out_shape]

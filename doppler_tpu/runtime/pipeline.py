@@ -128,12 +128,13 @@ class Pipeline:
         if precision not in ("exact", "fast"):
             raise ValueError(
                 f"precision must be 'exact' or 'fast', got {precision!r}")
-        # 'fast' = the chain's 3-pass bf16-split MXU scheme (dot_precision
-        # ='split3', ops/pallas/chain.py): measured +6% on the v5e at ~90 dB
+        # 'fast' = the 3-pass bf16-split MXU scheme (dot_precision=
+        # 'split3', ops/pallas/chain.py): measured +6% on the v5e at ~90 dB
         # vs the exact kernel (≤1 LSB) — far inside the reference's own f32
         # phase-noise bound, but NOT the ≤1-LSB-with-<1%-diffs oracle
-        # contract, hence opt-in.  Applies to the unsharded single-stage
-        # Pallas chain; other paths keep the exact formulation.
+        # contract, hence opt-in.  Applies to the unsharded Pallas chain
+        # AND cascade kernels; mesh/channels paths keep the exact
+        # formulation.
         self.precision = precision
         self._chain_dot = "split3" if precision == "fast" else "highest"
         self.drain_on_eof = drain_on_eof  # flush the FIR tail with zeros at EOF
@@ -889,6 +890,12 @@ class Pipeline:
                 intype=self.intype,
                 outtype="f32" if split else self.outtype,
                 final_dense=split,
+                # cascade measured exact == split3 (10.90 vs 10.93 GS/s
+                # best-of-10 interleaved, tools/probe_cascade_precision.py:
+                # the per-stage operand split repeats while the pass
+                # savings concentrate in stage 1) — so 'fast' keeps the
+                # exact formulation here and pays nothing
+                dot_precision="highest",
             )
             n_mid = self._advance_cascade_state(total, self._cascade_carries)
             if not split:

@@ -527,3 +527,58 @@ def test_split_cascade_f32_formats():
             ya = np.frombuffer(a, "<i2").astype(np.int32)
             yb = np.frombuffer(b, "<i2").astype(np.int32)
             assert ya.size == yb.size and np.abs(ya - yb).max() <= 1
+
+
+def test_cascade_split3_precision_bound():
+    """'fast' (split3) cascade: ≤1 LSB and ≥80 dB vs the exact cascade,
+    with bitwise blocks_per_step invariance, on the config-3 shape."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from doppler_tpu.ops import codec
+    from doppler_tpu.ops.multistage import MultiStageResampler
+    from doppler_tpu.ops.pallas.chain import (
+        carry_rows,
+        make_chain_taps,
+        mix_cascade_pallas_stream,
+    )
+    from doppler_tpu.ops.phase_plan import NCOState, plan_blocks
+
+    rng = np.random.default_rng(0x53)
+    fs, L, B = 1_024_000, 4096, 8
+    ms = MultiStageResampler(fs, 48000)
+    nst = len(ms.stages)
+    stages_cfg = tuple((st.P, st.Q, st.T) for st in ms.stages)
+    taps = tuple(
+        jnp.asarray(make_chain_taps(
+            st.bank, st.P, st.Q, pp=(st.P if i < nst - 1 else None)))
+        for i, st in enumerate(ms.stages))
+    carries = tuple(
+        jnp.zeros((2, carry_rows(st.T), 128), jnp.float32)
+        for st in ms.stages)
+    words = rng.integers(-(1 << 31), 1 << 31, size=(B, L),
+                         dtype=np.int64).astype(np.int32)
+    plan = plan_blocks([7000.0 + k for k in range(B)], [L] * B, fs,
+                       NCOState(), L)
+    arrs = (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t)
+
+    def run(prec, w=None):
+        out, _ = mix_cascade_pallas_stream(
+            jnp.asarray(words), *arrs, taps, carries, stages=stages_cfg,
+            interpret=True, dot_precision=prec, blocks_per_step=w)
+        return np.asarray(out)
+
+    exact = run("highest")
+    fast = run("split3")
+    ge, we = (np.frombuffer(codec.i16_words_to_bytes(a.reshape(-1)),
+                            dtype="<i2").astype(np.int32)
+              for a in (fast, exact))
+    d = np.abs(ge - we)
+    assert d.max() <= 1, d.max()
+    err = (ge - we) / 32768.0
+    sig = we / 32768.0
+    snr = 10 * np.log10((sig ** 2).mean() / max((err ** 2).mean(), 1e-30))
+    assert snr > 80.0, snr
+    for w in (2, 4, 8):
+        np.testing.assert_array_equal(fast, run("split3", w=w))
