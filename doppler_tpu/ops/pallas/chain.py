@@ -49,7 +49,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from doppler_tpu.ops.pallas.mixer import _sincos_q24, phase_q24
+from doppler_tpu.ops.pallas.mixer import (
+    _sincos_q24,
+    phase_q24,
+    phase_q24_outer,
+)
 from doppler_tpu.ops.sincos import mix_tone
 
 __all__ = [
@@ -119,7 +123,8 @@ _DOT_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
 
 
 def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1,
-                 intype="i16", outtype="i16", dot_precision="highest"):
+                 intype="i16", outtype="i16", dot_precision="highest",
+                 phase_impl="flat"):
     SL = L // 128                 # mixed rows per reference block
     WSL = W * SL                  # mixed rows per grid step
     HBR = carry_rows(T)           # history rows
@@ -150,11 +155,14 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1,
         # finishes one channel's stream before the next begins
         b = pl.program_id(1) if channels else pl.program_id(0)
 
-        # local sample index within one reference block, (SL, 128)
-        j = (
-            jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 0) * jnp.uint32(128)
-            + jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 1)
-        )
+        # local sample index within one reference block, (SL, 128) — only
+        # the flat phase path needs it materialized per element
+        if phase_impl != "outer":
+            j = (
+                jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 0)
+                * jnp.uint32(128)
+                + jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 1)
+            )
         scale = jnp.float32(1.0 / 32768.0)
 
         if channels:
@@ -176,12 +184,13 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1,
                 fq = words_ref[1, wi]
 
             # ---- exact Q0.64 phase (shared VPU hot loop, ops/pallas/mixer)
-            q24 = phase_q24(
-                j, sidx(d_hi_r, k), sidx(d_lo_r, k),
-                sidx(c1_hi_r, k), sidx(c1_lo_r, k),
-                sidx(c2_hi_r, k), sidx(c2_lo_r, k), sidx(t_r, k),
-                small_j=(SL * 128 <= 65536),
-            )
+            plan_k = (sidx(d_hi_r, k), sidx(d_lo_r, k),
+                      sidx(c1_hi_r, k), sidx(c1_lo_r, k),
+                      sidx(c2_hi_r, k), sidx(c2_lo_r, k), sidx(t_r, k))
+            if phase_impl == "outer":
+                q24 = phase_q24_outer(SL, *plan_k)
+            else:
+                q24 = phase_q24(j, *plan_k, small_j=(SL * 128 <= 65536))
             c, s = _sincos_q24(q24)
             oi, oq = mix_tone(fi, fq, c, s)
             mis.append(oi)                      # (SL, 128)
@@ -365,7 +374,8 @@ def wide_chain_taps(taps_merged, D: int):
 
 @functools.partial(
     jax.jit, static_argnames=("P", "Q", "T", "interpret", "blocks_per_step",
-                              "intype", "outtype", "dot_precision")
+                              "intype", "outtype", "dot_precision",
+                              "phase_impl")
 )
 def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
                                      c2_hi, c2_lo, t, chain_taps, carry_in,
@@ -374,7 +384,8 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
                                      blocks_per_step: int | None = None,
                                      intype: str = "i16",
                                      outtype: str = "i16",
-                                     dot_precision: str = "highest"):
+                                     dot_precision: str = "highest",
+                                     phase_impl: str = "flat"):
     """Streaming fused chain, all four wire formats (dsp.rs:85-115).
 
     i16 input: ``(B, L)`` packed int32 words; f32 input: ``(2, B, L)``
@@ -420,7 +431,8 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
     NSLICE = taps_rows // 128 + D - 1
     kernel = _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, D=D,
                           intype=intype, outtype=outtype,
-                          dot_precision=dot_precision)
+                          dot_precision=dot_precision,
+                          phase_impl=phase_impl)
 
     if intype == "i16":
         data_spec = pl.BlockSpec((W, SL, 128), lambda b, *_: (b, 0, 0),

@@ -86,6 +86,53 @@ def phase_q24(j, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
     return jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
 
 
+def phase_q24_outer(S, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t):
+    """phase_q24 with the per-element multiplies hoisted to small shapes.
+
+    ``j = 128·row + lane``, so ``j·D mod 2^64 = row·(128·D) + lane·D`` —
+    pure modular reassociation (u32/u64 addition is associative), bitwise
+    identical to :func:`phase_q24` over a full ``(S, 128)`` block (pinned
+    by tests/test_pallas_mixer.py::test_phase_q24_outer_bitwise).  The
+    products ride a ``(1, 128)`` lane vector and an ``(S, 1)`` row vector
+    (~(S+128) elements instead of S·128), leaving only broadcast
+    adds/compares per element — the VPU phase cost drops from 4 multiplies
+    + ~7 ops to ~9 add-class ops per sample.
+
+    Requires block-local j < 2²² (S ≤ 2¹⁵ rows — every practical block):
+    ``j`` is rebuilt per element as ``(row << 7) + lane`` for the C1/C2
+    segment compare.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (1, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.uint32, (S, 1), 0)
+    # lane·D, lane < 2^7 — small-j umulhi (high halves of lane vanish)
+    ll = lane * (d_lo & _MASK16)
+    lh = lane * (d_lo >> 16)
+    lane_hi = (lh >> 16) + (((ll >> 16) + (lh & _MASK16)) >> 16) \
+        + lane * d_hi
+    lane_lo = lane * d_lo
+    # row·E with E = (128·D) mod 2^64; row < 2^15 — small-j umulhi again
+    e_lo = jnp.left_shift(d_lo, 7)
+    e_hi = jnp.left_shift(d_hi, 7) | (d_lo >> 25)
+    ll2 = row * (e_lo & _MASK16)
+    lh2 = row * (e_lo >> 16)
+    row_hi = (lh2 >> 16) + (((ll2 >> 16) + (lh2 & _MASK16)) >> 16) \
+        + row * e_hi
+    row_lo = row * e_lo
+    # 64-bit combine via broadcast adds: jd = lane·D + row·E  (mod 2^64)
+    jd_lo = lane_lo + row_lo                       # (S, 128)
+    carry0 = (jd_lo < row_lo).astype(jnp.uint32)
+    jd_hi = lane_hi + row_hi + carry0
+    # segment select + offset add-with-carry, identical to phase_q24
+    j = jnp.left_shift(row, 7) + lane              # (S, 128), no multiply
+    m = j < t
+    c_hi = jnp.where(m, c1_hi, c2_hi)
+    c_lo = jnp.where(m, c1_lo, c2_lo)
+    lo = jd_lo + c_lo
+    carry = (lo < jd_lo).astype(jnp.uint32)
+    q32 = jd_hi + c_hi + carry
+    return jax.lax.bitcast_convert_type(q32 >> 8, jnp.int32)
+
+
 # the tone evaluation lives in ops.sincos (shared with the XLA mixer so both
 # paths emit identical bytes); measured ~1.3 ms per 33.5M samples on v5e
 _sincos_q24 = sincos_q24_neg

@@ -199,3 +199,61 @@ def test_pallas_mixer_rejects_unaligned_block():
             jnp.asarray(words), plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
             plan.c2_hi, plan.c2_lo, plan.t, interpret=True,
         )
+
+
+def test_phase_q24_outer_bitwise():
+    """phase_q24_outer (row/lane outer-product reassociation) must equal
+    phase_q24 bitwise over full blocks — kept as a measured experiment
+    (slightly SLOWER on v5e: broadcast materialization outweighs the
+    multiply savings; see docs/architecture.md round-5 notes)."""
+    import jax
+
+    from doppler_tpu.ops.pallas.mixer import phase_q24, phase_q24_outer
+
+    rng = np.random.default_rng(11)
+    for S in (1, 4, 64, 512):
+        d = int(rng.integers(0, 1 << 64, dtype=np.uint64))
+        c1 = int(rng.integers(0, 1 << 64, dtype=np.uint64))
+        c2 = int(rng.integers(0, 1 << 64, dtype=np.uint64))
+        t = int(rng.integers(0, S * 128 + 2))
+        j = (jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 0)
+             * jnp.uint32(128)
+             + jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 1))
+        args = (jnp.uint32(d >> 32), jnp.uint32(d & 0xFFFFFFFF),
+                jnp.uint32(c1 >> 32), jnp.uint32(c1 & 0xFFFFFFFF),
+                jnp.uint32(c2 >> 32), jnp.uint32(c2 & 0xFFFFFFFF),
+                jnp.uint32(t))
+        a = np.asarray(phase_q24(j, *args, small_j=(S * 128 <= 65536)))
+        b = np.asarray(phase_q24_outer(S, *args))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_chain_phase_impl_knob_bitwise():
+    """The chain's phase_impl='outer' experiment path stays bitwise equal
+    to the default 'flat' path (same Q0.64 words by modular
+    reassociation)."""
+    from doppler_tpu.ops.pallas.chain import (
+        carry_rows,
+        make_chain_taps,
+        mix_resample_chain_pallas_stream,
+    )
+    from doppler_tpu.ops.resample import RationalResampler
+
+    fs, L, B = 1024000, 4096, 4
+    rs = RationalResampler(fs, 48000)
+    words = RNG.integers(-(1 << 31), 1 << 31, size=(B, L),
+                         dtype=np.int64).astype(np.int32)
+    plan = plan_blocks([9000.0, -5000.5, 0.25, 7777.0], [L] * B, fs,
+                       NCOState(), L)
+    arrs = (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t)
+    taps = jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q))
+    c0 = jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32)
+    outs = {}
+    for impl in ("flat", "outer"):
+        o, c = mix_resample_chain_pallas_stream(
+            jnp.asarray(words), *arrs, taps, c0, P=rs.P, Q=rs.Q, T=rs.T,
+            interpret=True, phase_impl=impl)
+        outs[impl] = (np.asarray(o), np.asarray(c))
+    np.testing.assert_array_equal(outs["flat"][0], outs["outer"][0])
+    np.testing.assert_array_equal(outs["flat"][1], outs["outer"][1])

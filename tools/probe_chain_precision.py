@@ -77,18 +77,21 @@ def main() -> int:
                                                             rs.Q)))
     carry0 = jax.device_put(jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32))
 
-    def make_step(prec):
+    def make_step(prec, phase="outer"):
         def step(x, *p):
             out, _ = mix_resample_chain_pallas_stream(
                 x, *p, chain_taps, carry0, P=rs.P, Q=rs.Q, T=rs.T,
-                interpret=interp, dot_precision=prec)
+                interpret=interp, dot_precision=prec, phase_impl=phase)
             return out
         return step
 
-    variants = {"hi": make_step("highest"), "def": make_step("default"),
-                "split3": make_step("split3")}
+    variants = {"hi-flat": make_step("highest", "flat"),
+                "hi-outer": make_step("highest", "outer"),
+                "def": make_step("default"),
+                "split3-flat": make_step("split3", "flat"),
+                "split3-outer": make_step("split3", "outer")}
 
-    if True:  # tone quadrant formulation A/B (VERDICT r4 next #1b)
+    if os.environ.get("PROBE_TONE"):  # tone formulation A/B (measured r5)
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
