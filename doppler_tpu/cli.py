@@ -145,11 +145,12 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--precision", choices=["exact", "fast"], default="exact",
                    help="resampler matmul precision: 'exact' (default) is "
                         "the 6-pass f32 formulation (≤1 LSB vs the oracle); "
-                        "'fast' uses the 3-pass bf16-split MXU scheme on the "
-                        "fused unsharded single-stage chain (+6%% measured "
-                        "on v5e, ~90 dB vs exact — far inside the "
-                        "reference's own f32 phase noise); cascades measure "
-                        "no gain and keep exact, as do mesh/channels paths")
+                        "'fast' uses the 3-pass bf16-split MXU scheme on "
+                        "the fused unsharded single-stage chain (+6%% "
+                        "measured on v5e) and the channel-batched chain "
+                        "(+8%%), at ~90 dB vs exact — far inside the "
+                        "reference's own f32 phase noise; cascades measure "
+                        "no gain and keep exact, as do mesh paths")
     p.add_argument("--drain", action="store_true",
                    help="flush the resampler FIR tail with zeros at EOF")
     p.add_argument("--log-format", choices=["fern", "json"], default="fern",
@@ -443,6 +444,7 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                 mesh=mesh,
                 drain_on_eof=args.drain,
                 resample_stages=args.resample_stages,
+                precision=args.precision,
             )
         except ValueError as e:
             log.error("%s", e)

@@ -529,14 +529,15 @@ def mix_resample_chain_pallas(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
 
 @functools.partial(
     jax.jit, static_argnames=("P", "Q", "T", "interpret", "blocks_per_step",
-                              "intype", "outtype")
+                              "intype", "outtype", "dot_precision")
 )
 def mix_resample_chain_pallas_channels(words, fields, chain_taps, carries,
                                        *, P: int, Q: int, T: int,
                                        interpret: bool = False,
                                        blocks_per_step: int | None = None,
                                        intype: str = "i16",
-                                       outtype: str = "i16"):
+                                       outtype: str = "i16",
+                                       dot_precision: str = "highest"):
     """Channel-batched streaming chain: ONE kernel launch for all channels.
 
     ``words``   : shared wideband ``(B, L)`` i16 words, or ``(2, B, L)``
@@ -585,7 +586,8 @@ def mix_resample_chain_pallas_channels(words, fields, chain_taps, carries,
     G = A // D
     NSLICE = taps_rows // 128 + D - 1
     kernel = _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=True,
-                          D=D, intype=intype, outtype=outtype)
+                          D=D, intype=intype, outtype=outtype,
+                          dot_precision=dot_precision)
 
     if intype == "i16":
         data_spec = pl.BlockSpec((W, SL, 128), lambda c, b, *_: (b, 0, 0),
@@ -608,12 +610,14 @@ def mix_resample_chain_pallas_channels(words, fields, chain_taps, carries,
         out_shape = jax.ShapeDtypeStruct((2, C, B // W, G, D * CC),
                                          jnp.float32)
 
+    taps_row_blocks = 2 if dot_precision == "split3" else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(C, B // W),
         in_specs=[
             data_spec,
-            pl.BlockSpec((NSLICE * 128, D * CC), lambda c, b, *_: (0, 0),
+            pl.BlockSpec((taps_row_blocks * NSLICE * 128, D * CC),
+                         lambda c, b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, HBR, 128), lambda c, b, *_: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -629,6 +633,11 @@ def mix_resample_chain_pallas_channels(words, fields, chain_taps, carries,
     taps_merged = jnp.transpose(
         jnp.asarray(chain_taps), (1, 0, 2)
     ).reshape(taps_rows, CC)
+    taps_wide = wide_chain_taps(taps_merged, D)
+    if dot_precision == "split3":
+        t_h = taps_wide.astype(jnp.bfloat16).astype(jnp.float32)
+        t_l = (taps_wide - t_h).astype(jnp.bfloat16).astype(jnp.float32)
+        taps_wide = jnp.concatenate([t_h, t_l], axis=0)
     out, carry_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -642,7 +651,7 @@ def mix_resample_chain_pallas_channels(words, fields, chain_taps, carries,
         interpret=interpret,
     )(
         f[0], f[1], f[2], f[3], f[4], f[5], f[6],
-        data, wide_chain_taps(taps_merged, D),
+        data, taps_wide,
         jnp.asarray(carries, jnp.float32),
     )
     if outtype == "i16":

@@ -495,3 +495,43 @@ def test_cli_precision_fast_smoke(tmp_path):
     b = np.frombuffer(outs["fast"], dtype="<i2").astype(np.int32)
     assert a.size == b.size and a.size > 0
     assert np.abs(a - b).max() <= 1
+
+
+def test_channels_chain_split3_precision_bound():
+    """Channel-batched chain under split3: ≤1 LSB and ≥80 dB vs the exact
+    channel-batched kernel; carries bitwise (the carry is the MIXED rows,
+    which the precision mode does not touch)."""
+    from doppler_tpu.ops.pallas.chain import (
+        carry_rows,
+        mix_resample_chain_pallas_channels,
+    )
+
+    fs, L, B, C = 1024000, 4096, 4, 3
+    rs = RationalResampler(fs, 48000)
+    taps = jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q))
+    words = RNG.integers(-(1 << 31), 1 << 31, size=(B, L),
+                         dtype=np.int64).astype(np.int32)
+    fields = np.zeros((7, C, B), np.uint32)
+    for c in range(C):
+        p = plan_blocks([9000.0 + 321.0 * c] * B, [L] * B, fs, NCOState(), L)
+        for i, a in enumerate((p.d_hi, p.d_lo, p.c1_hi, p.c1_lo,
+                               p.c2_hi, p.c2_lo, p.t)):
+            fields[i, c] = a
+    carr = jnp.zeros((C, 2, carry_rows(rs.T), 128), jnp.float32)
+
+    outs = {}
+    for prec in ("highest", "split3"):
+        o, cr = mix_resample_chain_pallas_channels(
+            jnp.asarray(words), jnp.asarray(fields), taps, carr,
+            P=rs.P, Q=rs.Q, T=rs.T, interpret=True, dot_precision=prec)
+        outs[prec] = (np.asarray(o), np.asarray(cr))
+    np.testing.assert_array_equal(outs["highest"][1], outs["split3"][1])
+    ge, we = (np.frombuffer(codec.i16_words_to_bytes(
+        outs[p][0].reshape(-1)), dtype="<i2").astype(np.int32)
+        for p in ("split3", "highest"))
+    d = np.abs(ge - we)
+    assert d.max() <= 1, d.max()
+    err = (ge - we) / 32768.0
+    sig = we / 32768.0
+    snr = 10 * np.log10((sig ** 2).mean() / max((err ** 2).mean(), 1e-30))
+    assert snr > 80.0, snr
