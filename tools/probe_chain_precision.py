@@ -129,7 +129,7 @@ def main() -> int:
             return (jax.lax.bitcast_convert_type(ci, jnp.float32),
                     jax.lax.bitcast_convert_type(si, jnp.float32))
 
-        LB, S = L // 1, L // 128
+        S = L // 128
         taps8 = chain_taps
         n_sub, _, PP = taps8.shape
         CC = n_sub * PP
