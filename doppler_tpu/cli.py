@@ -200,6 +200,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "information, also can be used for doing constant "
                     "baseband shifting (TPU-native implementation)",
     )
+    # reference parity: clap's -V/--version (usage.rs:122)
+    from doppler_tpu import __version__
+    ap.add_argument("-V", "--version", action="version",
+                    version=f"doppler_tpu {__version__} "
+                            "(reference surface: cubehub/doppler 1.1.10)")
     sub = ap.add_subparsers(dest="mode", required=True)
 
     const = sub.add_parser("const", help="Constant shift mode")
@@ -464,6 +469,23 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                 log.error("%s", e)
                 return 1
             resume_byte = cmeta["samples_in"] * stream_bps(args.intype)
+            if cmeta.get("drained"):
+                # the checkpointed run already hit EOF and flushed the FIR
+                # tails into the per-channel files; re-running would drain
+                # AGAIN and append duplicate tails (outputs open in append
+                # mode) — a completed run is a no-op (ADVICE r4, the
+                # channels analog of the stream arm's guard)
+                size = os.stat(args.input).st_size if args.input else None
+                if size is None or resume_byte >= size:
+                    log.info("checkpoint is complete (drained); "
+                             "nothing to do")
+                    return 0
+                log.error(
+                    "checkpoint was written after an EOF drain but the "
+                    "capture has grown since; the flushed FIR tail already "
+                    "ended the output streams, so resuming would corrupt "
+                    "them — reprocess the full capture instead")
+                return 1
             if args.input:
                 # seekable capture: fast-forward to the checkpoint so the
                 # operator doesn't have to pre-trim the stream

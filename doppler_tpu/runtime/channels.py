@@ -117,6 +117,7 @@ class MultiChannelPipeline:
         # exact formulation (cascade measured no gain; mesh byte contract)
         self._chain_dot = "split3" if precision == "fast" else "highest"
         self.drain_on_eof = drain_on_eof
+        self._drained = False  # did THIS run flush the FIR tails? (ckpt)
         self.samples_in = 0     # absolute input samples consumed (checkpoint)
         self.samplerate = int(samplerate)
         self.intype = intype
@@ -895,6 +896,8 @@ class MultiChannelPipeline:
                     w.write(ob)
                     counters.add(samples=0, bytes_in=0,
                                  bytes_out=len(ob), blocks=0)
+            self._drained = True   # checkpointed: a resumed run must not
+            #                        append the FIR tails a second time
         for w in writers:
             w.flush()
         return counters

@@ -141,6 +141,10 @@ def save_channels(path: str, mpipe) -> None:
             for ch in mpipe.channels
         ],
         "groups": [list(idxs) for idxs, _ in mpipe._groups],
+        # True when the run reached EOF and flushed the per-channel FIR
+        # tails — a restart must not run (and drain) again (ADVICE r4;
+        # the channels analog of the stream checkpoint's flag)
+        "drained": bool(getattr(mpipe, "_drained", False)),
     }
     arrays = {"meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)}
     for g, (idxs, rs) in enumerate(mpipe._groups):

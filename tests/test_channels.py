@@ -577,3 +577,48 @@ def test_channels_split_cascade_checkpoint_resume_bitwise(tmp_path):
     mp2.run(io.BytesIO(buf[half:]), o2)
     for c in range(len(shifts)):
         assert o1[c].getvalue() + o2[c].getvalue() == whole[c]
+
+
+def test_channels_drained_checkpoint_restart_is_noop(tmp_path):
+    """ADVICE r4 (channels analog): re-running --load-state against a
+    checkpoint written after EOF + drain must NOT drain again and append
+    duplicate FIR tails to the per-channel output files."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps({"channels": [
+        {"name": "a", "shift": -9000.0},
+        {"name": "b", "shift": 4000.0},
+    ]}))
+    rng = np.random.default_rng(0xD0)
+    raw = rng.integers(-(1 << 15), 1 << 15, size=2 * 2048 * 32,
+                       dtype=np.int64).astype("<i2").tobytes()
+    inp = tmp_path / "in.iq"
+    inp.write_bytes(raw)
+    outdir = tmp_path / "out"
+    ck = tmp_path / "ck.npz"
+    base = [sys.executable, "-m", "doppler_tpu.cli", "channels",
+            "-s", "1024000", "-i", "i16", "--config", str(cfg),
+            "--resample-to", "48000", "--resample-stages", "single",
+            "--drain", "--platform", "cpu",
+            "--input", str(inp), "--output-dir", str(outdir)]
+    env = dict(os.environ)
+
+    p = subprocess.run(base + ["--save-state", str(ck)],
+                       capture_output=True, env=env, timeout=300)
+    assert p.returncode == 0, p.stderr.decode()[-2000:]
+    first = {n: (outdir / f"{n}.iq").read_bytes() for n in ("a", "b")}
+    assert all(len(v) > 0 for v in first.values())
+
+    p = subprocess.run(base + ["--load-state", str(ck)],
+                       capture_output=True, env=env, timeout=300)
+    assert p.returncode == 0, p.stderr.decode()[-2000:]
+    assert b"nothing to do" in p.stderr
+    for n in ("a", "b"):
+        assert (outdir / f"{n}.iq").read_bytes() == first[n], \
+            f"channel {n}: duplicate drain appended bytes"

@@ -10,8 +10,10 @@ run-to-run) of the REAL fused chain kernel at the config-3 bench shape:
         (bf16-pair taps etc., VERDICT r4 next #1a): if def ≈ hi, the MXU
         passes are hidden behind VPU/DMA and no split scheme can help.
 
-Optionally (--tone) also A/Bs the tone quadrant formulation (select-chain
-vs XOR sign-fold, bitwise-identical outputs) on the chain-mix shape.
+Optionally (env PROBE_TONE=1) also A/Bs the tone quadrant formulation
+(select-chain vs XOR sign-fold, bitwise-identical outputs) on the
+chain-mix shape.  NOTE: the fold IS the production sincos_q24_neg since
+round 5, so the select-chain baseline lives inline here.
 
 Usage (real TPU):  timeout 580 python tools/probe_chain_precision.py
 """
@@ -100,9 +102,10 @@ def main() -> int:
             _pick_group_cols,
         )
         from doppler_tpu.ops.pallas.mixer import phase_q24
-        from doppler_tpu.ops.sincos import mix_tone, sincos_q24_neg
+        from doppler_tpu.ops.sincos import mix_tone
+        from doppler_tpu.ops.sincos import sincos_q24_neg as sincos_fold
 
-        def sincos_fold(q24):
+        def sincos_select(q24):  # the pre-round-5 select-chain baseline
             quad = q24 >> 22
             frac = (q24 & jnp.int32(0x3FFFFF)).astype(jnp.float32)
             x = frac * jnp.float32((np.pi / 2) * 2.0 ** -22)
@@ -119,15 +122,14 @@ def main() -> int:
                         jnp.float32(-0.0013888397) + x2 * (
                             jnp.float32(0.0000247609)
                             + x2 * jnp.float32(-2.605e-07)))))
-            swap = (quad & jnp.int32(1)) == 1
-            pick_c = jnp.where(swap, s_p, c_p)
-            pick_s = jnp.where(swap, c_p, s_p)
-            signc = jnp.left_shift((quad + jnp.int32(1)) & jnp.int32(2), 30)
-            signs = jnp.left_shift((quad & jnp.int32(2)) ^ jnp.int32(2), 30)
-            ci = jax.lax.bitcast_convert_type(pick_c, jnp.int32) ^ signc
-            si = jax.lax.bitcast_convert_type(pick_s, jnp.int32) ^ signs
-            return (jax.lax.bitcast_convert_type(ci, jnp.float32),
-                    jax.lax.bitcast_convert_type(si, jnp.float32))
+            k0 = quad == 0
+            k1 = quad == 1
+            k2 = quad == 2
+            cos_u = jnp.where(k0, c_p,
+                              jnp.where(k1, -s_p, jnp.where(k2, -c_p, s_p)))
+            sin_u = jnp.where(k0, s_p,
+                              jnp.where(k1, c_p, jnp.where(k2, -s_p, -c_p)))
+            return cos_u, -sin_u
 
         S = L // 128
         taps8 = chain_taps
@@ -197,7 +199,7 @@ def main() -> int:
                   x.reshape(B, S, 128))
             return run
 
-        variants["mix-select"] = mix_shape_run(sincos_q24_neg)
+        variants["mix-select"] = mix_shape_run(sincos_select)
         variants["mix-fold"] = mix_shape_run(sincos_fold)
 
     # warm up / compile everything first
