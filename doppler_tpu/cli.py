@@ -341,13 +341,13 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         stdin = sys.stdin.buffer
     if args.output and args.mode != "channels":
         out_path = args.output
-        mode = "wb"
+        # resume appends: the bytes written before the cut are exactly
+        # consistent with the checkpoint (consistent-chunk stop), so the
+        # resumed run completes the same file the uninterrupted run would
+        # have produced (single-process and per-host part files alike)
+        mode = "ab" if args.load_state else "wb"
         if dist_nproc > 1:
             out_path = f"{args.output}.part{dist_pid}"
-            if args.load_state:
-                # distributed resume: a SIGTERM-stopped host's part file is
-                # exactly consistent with its checkpoint — append to it
-                mode = "ab"
         try:
             stdout = open(out_path, mode)
         except OSError as e:
@@ -691,6 +691,8 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                  dist_pid, shard.block_lo, shard.block_hi, lo, hi)
 
     if args.load_state and dist_nproc == 1:
+        import os as _os2
+
         from doppler_tpu.runtime import checkpoint
 
         try:
@@ -698,9 +700,27 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         except (ValueError, OSError) as e:
             log.error("%s", e)
             return 1
+        resume_byte = meta["sample_offset"] * stream_bps(args.intype)
+        if meta.get("drained"):
+            # completed run (EOF + FIR tail flushed): re-running would
+            # drain again and append a duplicate tail (ADVICE r4; same
+            # guard as the distributed and channels arms)
+            size = _os2.stat(args.input).st_size if args.input else None
+            if size is None or resume_byte >= size:
+                log.info("checkpoint is complete (drained); nothing to do")
+                return 0
+            log.error(
+                "checkpoint was written after an EOF drain but the capture "
+                "has grown since; the flushed FIR tail already ended the "
+                "output stream — reprocess the full capture instead")
+            return 1
+        if args.input:
+            # seekable capture: fast-forward to the checkpoint (the
+            # channels arm and --distributed already did; stdin-pipe
+            # callers feed the remainder themselves)
+            stdin.seek(resume_byte)
         log.info("resumed at input sample %d (byte %d)",
-                 meta["sample_offset"],
-                 meta["sample_offset"] * stream_bps(args.intype))
+                 meta["sample_offset"], resume_byte)
 
     # graceful interruption: SIGTERM/SIGINT finish the in-flight chunk, then
     # stop — so a --save-state checkpoint is exactly consistent with the

@@ -125,3 +125,82 @@ def test_resume_track_mode_bitwise(tmp_path):
     checkpoint.restore(ckpt, p2)
     second = _run(p2, buf[cut:])
     assert first + second == whole
+
+
+def test_cli_single_process_resume_seeks_and_appends(tmp_path):
+    """Single-process stream --load-state with --input/--output (round-5
+    review find): the CLI must seek the capture to the checkpoint byte and
+    APPEND to the output — previously it reprocessed from byte 0 with the
+    restored mid-stream state and truncated the output."""
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    rng = np.random.default_rng(0xCE)
+    # 4 chunks of 16 blocks; first run sees a 2-chunk truncated copy
+    chunk_bytes = 8192 * 16
+    raw = rng.integers(-(1 << 15), 1 << 15, size=2 * 2048 * 16 * 4,
+                       dtype=np.int64).astype("<i2").tobytes()
+    full = tmp_path / "full.iq"
+    full.write_bytes(raw)
+    part = tmp_path / "part.iq"
+    part.write_bytes(raw[: 2 * chunk_bytes])
+    out = tmp_path / "out.iq"
+    single = tmp_path / "single.iq"
+    ck = tmp_path / "ck.npz"
+    base = [sys.executable, "-m", "doppler_tpu.cli", "const",
+            "-s", "1024000", "-i", "i16", "--shift", "-9000",
+            "--resample-to", "48000", "--chunk-blocks", "16",
+            "--platform", "cpu"]
+    env = dict(os.environ)
+
+    p = subprocess.run(base + ["--input", str(full), "--output", str(single)],
+                       capture_output=True, env=env, timeout=300)
+    assert p.returncode == 0, p.stderr.decode()[-2000:]
+
+    p = subprocess.run(base + ["--input", str(part), "--output", str(out),
+                               "--save-state", str(ck)],
+                       capture_output=True, env=env, timeout=300)
+    assert p.returncode == 0, p.stderr.decode()[-2000:]
+
+    p = subprocess.run(base + ["--input", str(full), "--output", str(out),
+                               "--load-state", str(ck)],
+                       capture_output=True, env=env, timeout=300)
+    assert p.returncode == 0, p.stderr.decode()[-2000:]
+    assert b"resumed at input sample" in p.stderr
+    assert out.read_bytes() == single.read_bytes(), \
+        "resumed output != uninterrupted run (seek/append broken)"
+
+
+def test_cli_single_process_drained_resume_is_noop(tmp_path):
+    """Single-process stream analog of the drained guard: --drain
+    --save-state to EOF, then --load-state must be a no-op."""
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    rng = np.random.default_rng(0xCF)
+    raw = rng.integers(-(1 << 15), 1 << 15, size=2 * 2048 * 32,
+                       dtype=np.int64).astype("<i2").tobytes()
+    inp = tmp_path / "in.iq"
+    inp.write_bytes(raw)
+    out = tmp_path / "out.iq"
+    ck = tmp_path / "ck.npz"
+    base = [sys.executable, "-m", "doppler_tpu.cli", "const",
+            "-s", "1024000", "-i", "i16", "--shift", "-9000",
+            "--resample-to", "48000", "--drain", "--platform", "cpu",
+            "--input", str(inp), "--output", str(out)]
+    env = dict(os.environ)
+    p = subprocess.run(base + ["--save-state", str(ck)],
+                       capture_output=True, env=env, timeout=300)
+    assert p.returncode == 0, p.stderr.decode()[-2000:]
+    first = out.read_bytes()
+    p = subprocess.run(base + ["--load-state", str(ck)],
+                       capture_output=True, env=env, timeout=300)
+    assert p.returncode == 0, p.stderr.decode()[-2000:]
+    assert b"nothing to do" in p.stderr
+    assert out.read_bytes() == first, "duplicate drain appended bytes"
