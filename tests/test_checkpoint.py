@@ -204,3 +204,32 @@ def test_cli_single_process_drained_resume_is_noop(tmp_path):
     assert p.returncode == 0, p.stderr.decode()[-2000:]
     assert b"nothing to do" in p.stderr
     assert out.read_bytes() == first, "duplicate drain appended bytes"
+
+
+def test_resume_fast_precision_bitwise(tmp_path):
+    """'fast' precision keeps the checkpoint contract: a fast-mode run cut
+    and resumed must be bitwise the uninterrupted fast-mode run (the chain
+    carry is the MIXED rows, untouched by the matmul precision, and the
+    split3 kernel is deterministic per program)."""
+    fs = 1_024_000
+
+    def mk():
+        p = Pipeline(fs, "i16", "i16", ConstScheduler(9000.0),
+                     chunk_blocks=4, block_bytes=8192,
+                     impl="pallas", pallas_interpret=True, precision="fast")
+        attach_resampler(p, 48000)
+        return p
+
+    n = 2048 * 16
+    buf = _stream(n)
+    whole = _run(mk(), buf)
+
+    cut = 8192 * 8  # chunk boundary (2048-sample blocks, 4-block chunks)
+    p1 = mk()
+    first = _run(p1, buf[:cut])
+    ck = tmp_path / "fast.npz"
+    checkpoint.save(str(ck), p1)
+    p2 = mk()
+    checkpoint.restore(str(ck), p2)
+    second = _run(p2, buf[cut:])
+    assert first + second == whole
