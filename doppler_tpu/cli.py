@@ -180,8 +180,11 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
                         "state at each boundary is seeded exactly from "
                         "absolute stream position (resume = seek)")
     p.add_argument("--host-channels", type=int, default=None, metavar="HC",
-                   help="channels mode: channel-parallel host count "
-                        "(default: all hosts split the channel axis)")
+                   help="channels mode: channel-parallel host count; must "
+                        "equal num_processes (channels mode splits by "
+                        "channel only — a time split of the channels grid "
+                        "is not implemented).  Default: all hosts split "
+                        "the channel axis")
     p.add_argument("--save-state", metavar="PATH", default=None,
                    help="write a resumable checkpoint (.npz) at EOF or on "
                         "SIGTERM/SIGINT; under --distributed host k writes "
@@ -305,6 +308,16 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                        fmt=getattr(args, "log_format", "fern"))
     _select_platform(args.platform)
 
+    # a sub-sample --block-bytes crashed deep inside the run loop (or a
+    # ZeroDivisionError in 'auto' chunk sizing) — validate up front like
+    # every other config error (round-5 review find)
+    _bps = stream_bps(args.intype)
+    if args.block_bytes < _bps or args.block_bytes % _bps:
+        log.error("--block-bytes must be a positive multiple of %d "
+                  "(the %s sample size); got %d",
+                  _bps, args.intype, args.block_bytes)
+        return 1
+
     dist_nproc, dist_pid = 1, 0
     if args.distributed:
         from doppler_tpu.parallel import distributed
@@ -402,11 +415,23 @@ def main(argv=None, stdin=None, stdout=None) -> int:
         if dist_nproc > 1:
             from doppler_tpu.parallel.distributed import host_slice
 
+            if (args.host_channels is not None
+                    and args.host_channels != dist_nproc):
+                # host_slice would form an (Hc × Ht) grid, but the channels
+                # arm only consumes the channel axis — hosts sharing a
+                # channel slice would silently reprocess the full capture
+                # and race on the same output files (round-5 review find)
+                log.error(
+                    "--host-channels %d != num_processes %d: channels mode "
+                    "splits by channel only (the time axis of the host grid "
+                    "is not implemented here); drop --host-channels or set "
+                    "it to num_processes", args.host_channels, dist_nproc)
+                return 1
             try:
                 shard = host_slice(
                     len(specs), 1,
                     process_index=dist_pid, process_count=dist_nproc,
-                    channel_parallel_hosts=args.host_channels or dist_nproc,
+                    channel_parallel_hosts=dist_nproc,
                 )
             except ValueError as e:
                 log.error("%s", e)
@@ -651,15 +676,25 @@ def main(argv=None, stdin=None, stdout=None) -> int:
                     "checkpoint at byte %d is outside this host's range "
                     "[%d, %d) or not chunk-aligned", resume_lo, lo, hi)
                 return 1
-            if resume_lo == hi and meta.get("drained"):
+            if meta.get("drained"):
                 # this host already finished AND flushed the FIR tail in
                 # the checkpointed run; re-running would hit EOF instantly
                 # and append a duplicate tail to the .part file (the output
                 # opens in append mode) — a completed host is a no-op
-                # (ADVICE r4)
-                log.info("host %d checkpoint is complete (drained); "
-                         "nothing to do", dist_pid)
-                return 0
+                # (ADVICE r4).  If the capture GREW since, the flushed tail
+                # already ended this host's part stream, so resuming would
+                # corrupt it — refuse, like the single-process/channels
+                # arms (round-5 review find)
+                if resume_lo >= hi:
+                    log.info("host %d checkpoint is complete (drained); "
+                             "nothing to do", dist_pid)
+                    return 0
+                log.error(
+                    "host %d checkpoint was written after an EOF drain but "
+                    "the capture has grown since; the flushed FIR tail "
+                    "already ended the part stream — reprocess the full "
+                    "capture instead", dist_pid)
+                return 1
             lo = resume_lo
             log.info("host %d resumed at input sample %d",
                      dist_pid, meta["sample_offset"])
@@ -684,7 +719,8 @@ def main(argv=None, stdin=None, stdout=None) -> int:
             except ValueError as e:
                 log.error("%s", e)
                 return 1
-        stdin = ByteRangeReader(open(args.input, "rb"), lo, hi)
+        # reuse the handle opened above (a second open leaked the first fd)
+        stdin = ByteRangeReader(stdin, lo, hi)
         if dist_pid != dist_nproc - 1:
             pipe.drain_on_eof = False   # only the stream's last host drains
         log.info("host %d owns chunks [%d, %d) = bytes [%d, %d)",

@@ -703,7 +703,8 @@ class MultiChannelPipeline:
             self._chain_carries = jnp.asarray(flat.reshape(C, 2, hbr, 128))
 
         words = jnp.asarray(
-            staged if self.intype == "i16" else self._stage_planar(data))
+            staged if self.intype == "i16"
+            else self._stage_planar_from_staged(staged))
         fields_dev = jnp.asarray(fields)     # one (7, C, B) transfer per chunk
         out, self._chain_carries = mix_resample_chain_pallas_channels(
             words, fields_dev, self._chain_taps, self._chain_carries,
@@ -783,7 +784,8 @@ class MultiChannelPipeline:
             self._cascade_carries = tuple(carries)
 
         words = jnp.asarray(
-            staged if self.intype == "i16" else self._stage_planar(data))
+            staged if self.intype == "i16"
+            else self._stage_planar_from_staged(staged))
         out, self._cascade_carries = mix_cascade_pallas_channels(
             words, jnp.asarray(fields),
             self._cascade_taps, self._cascade_carries,
@@ -877,6 +879,7 @@ class MultiChannelPipeline:
 
         pending = None
         pending_meta = (0, 0)
+        hit_eof = False
         while True:
             if should_stop is not None and should_stop():
                 break
@@ -887,10 +890,13 @@ class MultiChannelPipeline:
             pending = new_pending
             pending_meta = (len(chunk.data), chunk.n_blocks)
             if chunk.eof:
+                hit_eof = True
                 break
         if pending is not None:
             emit(pending, *pending_meta)
-        if self.drain_on_eof:
+        # drain only on a true EOF exit (see Pipeline.run — a signal stop
+        # mid-stream must not flush the tails or set the drained flag)
+        if hit_eof and self.drain_on_eof:
             for w, ob in zip(writers, self.drain()):
                 if ob:
                     w.write(ob)
@@ -926,8 +932,15 @@ def load_channel_config(path: str, samplerate: int):
 
             lat, lon, alt = parse_location(ch.get("location", cfg["location"]))
             time_s = ch.get("time", cfg.get("time"))
+            tlef = ch.get("tlefile", cfg.get("tlefile"))
+            if tlef is None:
+                # open(None) would raise a TypeError that escapes the CLI's
+                # bad-config handling — fail like every other config error
+                raise ValueError(
+                    f"channel {ch.get('name')!r}: track entry needs "
+                    "'tlefile' (at the channel or top level)")
             sched = make_track_scheduler(
-                tlefile=ch.get("tlefile", cfg.get("tlefile")),
+                tlefile=tlef,
                 tlename=ch["tlename"],
                 lat=lat, lon=lon, alt=alt,
                 frequency_hz=float(ch["frequency"]),

@@ -48,6 +48,43 @@ def _scheduler_state(s) -> dict:
     return out
 
 
+def _scheduler_sig(s) -> dict:
+    """Identity of the DSP configuration the counters belong to.
+
+    Round-5 review find: restore() validated samplerate/dtypes but not the
+    shift/mode/track parameters, so resuming a ``--shift -15000``
+    checkpoint with ``--shift +3000`` silently produced output matching no
+    uninterrupted run.  The signature pins what the counters MEAN.
+    """
+    sig: dict = {"kind": type(s).__name__}
+    for key in ("shift_hz", "frequency_hz", "offset_hz", "start_time"):
+        if hasattr(s, key):
+            sig[key] = float(getattr(s, key))
+    tle = getattr(getattr(s, "predictor", None), "tle", None)
+    if tle is not None:
+        sig["tlename"] = getattr(tle, "name", None)
+    return sig
+
+
+def _resampler_sig(rs):
+    """(P, Q, T) per stage — pins the --resample-to/stages configuration."""
+    if rs is None:
+        return None
+    stages = getattr(rs, "stages", None)
+    if stages is not None:
+        return [[st.P, st.Q, st.T] for st in stages]
+    return [[rs.P, rs.Q, rs.T]]
+
+
+def _check_sig(meta: dict, key: str, current, what: str) -> None:
+    if key in meta and meta[key] != current:
+        raise ValueError(
+            f"checkpoint {what} {meta[key]!r} does not match the "
+            f"pipeline's {current!r} — resuming with a different "
+            "configuration would produce output matching no "
+            "uninterrupted run")
+
+
 def _load_scheduler_state(s, state: dict) -> None:
     for key, val in state.items():
         if hasattr(s, key):
@@ -66,7 +103,9 @@ def save(path: str, pipe) -> None:
         "nco_abs_offset": pipe.nco_state.abs_offset,
         "sample_offset": pipe._sample_offset,
         "scheduler": _scheduler_state(pipe.scheduler),
+        "scheduler_sig": _scheduler_sig(pipe.scheduler),
         "has_resampler": pipe.resampler is not None,
+        "resampler_sig": _resampler_sig(pipe.resampler),
         # True when the checkpointed run reached EOF and flushed the FIR
         # tail: a restart must not run (and drain) again, or the duplicate
         # tail bytes get appended to the part file (ADVICE r4)
@@ -97,6 +136,14 @@ def restore(path: str, pipe) -> dict:
                     f"checkpoint {key}={meta[key]!r} does not match "
                     f"pipeline {getattr(pipe, key)!r}"
                 )
+        _check_sig(meta, "scheduler_sig", _scheduler_sig(pipe.scheduler),
+                   "scheduler config")
+        if meta.get("resampler_sig") is not None:
+            # (a resampler-less checkpoint restoring into a pipeline with a
+            # FRESH resampler stays allowed — the long-standing attach-
+            # after-checkpoint pattern; a recorded resampler must match)
+            _check_sig(meta, "resampler_sig", _resampler_sig(pipe.resampler),
+                       "resampler config")
         pipe.nco_state = NCOState(
             samplenum=int(meta["nco_samplenum"]),
             abs_offset=int(meta["nco_abs_offset"]),
@@ -137,10 +184,13 @@ def save_channels(path: str, mpipe) -> None:
                 "nco_samplenum": ch.state.samplenum,
                 "nco_abs_offset": ch.state.abs_offset,
                 "scheduler": _scheduler_state(ch.scheduler),
+                "scheduler_sig": _scheduler_sig(ch.scheduler),
+                "center_offset_hz": float(ch.center_offset_hz),
             }
             for ch in mpipe.channels
         ],
         "groups": [list(idxs) for idxs, _ in mpipe._groups],
+        "group_sigs": [_resampler_sig(rs) for _, rs in mpipe._groups],
         # True when the run reached EOF and flushed the per-channel FIR
         # tails — a restart must not run (and drain) again (ADVICE r4;
         # the channels analog of the stream checkpoint's flag)
@@ -180,7 +230,20 @@ def restore_channels(path: str, mpipe) -> dict:
             )
         if meta["groups"] != [list(idxs) for idxs, _ in mpipe._groups]:
             raise ValueError("rate grouping changed since checkpoint")
+        if "group_sigs" in meta:
+            cur = [_resampler_sig(rs) for _, rs in mpipe._groups]
+            if meta["group_sigs"] != cur:
+                raise ValueError(
+                    "resampler configuration changed since checkpoint "
+                    f"({meta['group_sigs']!r} vs {cur!r})")
         for ch, st in zip(mpipe.channels, meta["channels"]):
+            _check_sig(st, "scheduler_sig", _scheduler_sig(ch.scheduler),
+                       f"channel {ch.name!r} scheduler config")
+            if ("center_offset_hz" in st
+                    and st["center_offset_hz"] != float(ch.center_offset_hz)):
+                raise ValueError(
+                    f"channel {ch.name!r} center offset changed since "
+                    "checkpoint")
             ch.state.samplenum = int(st["nco_samplenum"])
             ch.state.abs_offset = int(st["nco_abs_offset"])
             _load_scheduler_state(ch.scheduler, st["scheduler"])

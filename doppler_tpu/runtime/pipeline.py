@@ -1115,6 +1115,7 @@ class Pipeline:
         # one-chunk-deep pipelining: dispatch chunk k+1 while k materializes
         pending = None
         pending_meta = (0, 0)
+        hit_eof = False
         while True:
             if should_stop is not None and should_stop():
                 break
@@ -1125,9 +1126,13 @@ class Pipeline:
             pending = new_pending
             pending_meta = (len(chunk.data), chunk.n_blocks)
             if chunk.eof:
+                hit_eof = True
                 break
         emit(pending, *pending_meta)
-        if self.resampler is not None and self.drain_on_eof:
+        # drain ONLY on a true EOF exit: a should_stop (signal) break is a
+        # mid-stream pause — flushing the FIR tail there would corrupt the
+        # output and poison the checkpoint (round-5 review find)
+        if hit_eof and self.resampler is not None and self.drain_on_eof:
             out_bytes = self._drain()
             self._drained = True   # checkpointed: a resumed run must not
             if out_bytes:          # append the FIR tail a second time

@@ -233,3 +233,103 @@ def test_resume_fast_precision_bitwise(tmp_path):
     checkpoint.restore(str(ck), p2)
     second = _run(p2, buf[cut:])
     assert first + second == whole
+
+
+def test_restore_rejects_changed_dsp_config(tmp_path):
+    """Round-5 review find: the checkpoint must pin the DSP configuration
+    (shift / track params / resample rate), not just the wire format — a
+    resume with different flags previously produced output matching no
+    uninterrupted run, silently."""
+    import pytest
+
+    p1 = _mk_pipe()
+    _run(p1, _stream(2048))
+    ckpt = str(tmp_path / "state.npz")
+    checkpoint.save(ckpt, p1)
+
+    # different const shift
+    p_bad = Pipeline(FS, "i16", "i16", ConstScheduler(3000.0), chunk_blocks=4)
+    with pytest.raises(ValueError, match="scheduler config"):
+        checkpoint.restore(ckpt, p_bad)
+
+    # different resample rate
+    p2 = _mk_pipe(resample=True)
+    _run(p2, _stream(2048))
+    checkpoint.save(ckpt, p2)
+    p_bad2 = Pipeline(FS, "i16", "i16", ConstScheduler(9660.609375),
+                      chunk_blocks=4)
+    attach_resampler(p_bad2, 32000)
+    with pytest.raises(ValueError, match="resampler config"):
+        checkpoint.restore(ckpt, p_bad2)
+
+
+def test_signal_stop_does_not_drain(tmp_path):
+    """Round-5 review find: a should_stop (signal) break must NOT flush the
+    FIR tail — that is an EOF-only action; draining mid-stream corrupted
+    the output and poisoned the checkpoint's drained flag."""
+    buf = _stream(2048 * 16)
+
+    pfull = _mk_pipe(resample=True)
+    pfull.drain_on_eof = True
+    whole = _run(pfull, buf)
+
+    p1 = _mk_pipe(resample=True)
+    p1.drain_on_eof = True
+    calls = {"n": 0}
+
+    def stop():
+        calls["n"] += 1
+        return calls["n"] > 2
+
+    out = io.BytesIO()
+    p1.run(io.BytesIO(buf), out, should_stop=stop)
+    first = out.getvalue()
+    assert not p1._drained
+    assert whole.startswith(first) and len(first) < len(whole), \
+        "mid-stream stop emitted non-prefix bytes (tail drained early?)"
+
+    ck = str(tmp_path / "sig.npz")
+    checkpoint.save(ck, p1)
+    p2 = _mk_pipe(resample=True)
+    p2.drain_on_eof = True
+    meta = checkpoint.restore(ck, p2)
+    consumed = meta["sample_offset"] * 4
+    out2 = io.BytesIO()
+    p2.run(io.BytesIO(buf[consumed:]), out2)
+    assert first + out2.getvalue() == whole
+
+
+def test_channels_signal_stop_does_not_drain():
+    """Channels analog of the drain-on-signal fix."""
+    from doppler_tpu.runtime.channels import (
+        ChannelSpec,
+        ConstScheduler as CConst,
+        MultiChannelPipeline,
+    )
+
+    def mk():
+        return MultiChannelPipeline(
+            FS, "i16", "i16",
+            [ChannelSpec(name="a", scheduler=CConst(-9000.0)),
+             ChannelSpec(name="b", scheduler=CConst(4000.0))],
+            out_rate=48000, chunk_blocks=4, drain_on_eof=True)
+
+    buf = _stream(2048 * 16)
+    writers = [io.BytesIO(), io.BytesIO()]
+    mk().run(io.BytesIO(buf), writers)
+    whole = [w.getvalue() for w in writers]
+
+    mp = mk()
+    calls = {"n": 0}
+
+    def stop():
+        calls["n"] += 1
+        return calls["n"] > 2
+
+    writers2 = [io.BytesIO(), io.BytesIO()]
+    mp.run(io.BytesIO(buf), writers2, should_stop=stop)
+    assert not mp._drained
+    for w, full in zip(writers2, whole):
+        got = w.getvalue()
+        assert full.startswith(got) and len(got) < len(full), \
+            "channels mid-stream stop emitted non-prefix bytes"
