@@ -106,7 +106,11 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
                    help="IQ data output type (default: same as --intype)")
     # framework extensions
     p.add_argument("--block-bytes", type=int, default=8192,
-                   help="stream framing block size in bytes (reference: 8192)")
+                   help="stream framing block size in bytes (reference: "
+                        "8192).  Large blocks trade samplenum-reset phase "
+                        "fidelity for DMA efficiency on rounding-reset-"
+                        "heavy ratios (see ops/phase_plan.py's multi-reset "
+                        "policy note)")
     p.add_argument("--chunk-blocks", default=None,
                    help="blocks per device dispatch (int), or 'auto' to "
                         "target ~64 ms of stream per dispatch for live-SDR "

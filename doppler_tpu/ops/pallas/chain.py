@@ -62,6 +62,7 @@ __all__ = [
     "mix_resample_chain_pallas_stream",
     "mix_resample_chain_pallas_channels",
     "mix_cascade_pallas_stream",
+    "mix_cascade_pallas_channels",
     "cascade_dims",
     "pick_cascade_blocks_per_step",
     "split_point",

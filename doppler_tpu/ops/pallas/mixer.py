@@ -33,18 +33,10 @@ __all__ = ["mix_blocks_pallas", "mix_blocks_pallas_fmt",
 _MASK16 = np.uint32(0xFFFF)
 
 
-def _umulhi32(a, b):
-    """High 32 bits of a 32×32 product on uint32 lanes (16-bit partials)."""
-    a_lo = a & _MASK16
-    a_hi = a >> 16
-    b_lo = b & _MASK16
-    b_hi = b >> 16
-    ll = a_lo * b_lo
-    lh = a_lo * b_hi
-    hl = a_hi * b_lo
-    hh = a_hi * b_hi
-    mid = (ll >> 16) + (lh & _MASK16) + (hl & _MASK16)
-    return hh + (lh >> 16) + (hl >> 16) + (mid >> 16)
+# ONE umulhi implementation (round-5 review: a local duplicate risked
+# drifting from the bitwise contract) — fixedpoint's version is the same
+# 16-bit partial-product algorithm and traces identically under Mosaic.
+from doppler_tpu.ops.fixedpoint import umulhi32 as _umulhi32  # noqa: E402
 
 
 def phase_q24(j, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t,
@@ -100,8 +92,14 @@ def phase_q24_outer(S, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo, t):
 
     Requires block-local j < 2²² (S ≤ 2¹⁵ rows — every practical block):
     ``j`` is rebuilt per element as ``(row << 7) + lane`` for the C1/C2
-    segment compare.
+    segment compare.  Enforced at trace time — the small-j reduction on
+    ``row`` drops row-high-half partials, exactly the silent-corruption
+    class the small_j flag once shipped (ADVICE r4 high).
     """
+    if S > (1 << 15):
+        raise ValueError(
+            f"phase_q24_outer needs S ≤ 2^15 rows (L ≤ 2^22 samples); "
+            f"got S={S}")
     lane = jax.lax.broadcasted_iota(jnp.uint32, (1, 128), 1)
     row = jax.lax.broadcasted_iota(jnp.uint32, (S, 1), 0)
     # lane·D, lane < 2^7 — small-j umulhi (high halves of lane vanish)

@@ -262,8 +262,17 @@ def _state_after_run(r32: np.float32, v: int, count: int) -> int:
         remaining -= j + 1        # samples left after the reset fires
         v = 1
         q = _exact_period(r32)
-        if q is not None and q <= remaining:
-            # periodic from here: counter cycles 1..q → (rem mod q) + 1
+        if (q is not None and q <= remaining
+                and abs(float(r32)) * q < _exact_only_bound(r32, q)):
+            # periodic from here: counter cycles 1..q → (rem mod q) + 1.
+            # Valid ONLY in the exact-only regime (counters stay ≤ q, so
+            # |r·n| never reaches the rounding-reset threshold) — round-5
+            # review find: without the bound, a ROUNDING firing below q
+            # from the restarted counter broke the periodicity and the
+            # shortcut silently carried a wrong samplenum (repro:
+            # fs=1024000, shift≈327843.76, L=65536 → 32768 vs the
+            # reference loop's 1518).  Outside the regime the loop
+            # continues — firings are sparse there, so it stays O(events).
             return remaining % q + 1
     return v % (1 << 32)
 
@@ -285,6 +294,64 @@ def _state_after_run_exact(m0: int, count: int, q: int) -> int:
         return (m0 + count) % (1 << 32)
     rem = count - 1 - j0
     return rem % q + 1
+
+
+# Multi-reset blocks — the representation policy (round-5 review find).
+#
+# The per-block device constants carry ONE offset-changing segment switch
+# (C1 → C2 at t).  A block can contain a SECOND rounding reset — common at
+# large --block-bytes (the steady-state reset spacing is ~sqrt(2²⁵/r)
+# samples, so 64Ki-sample blocks span several), and possible even at the
+# reference's own 2048-sample framing.  The policy:
+#
+# - the COUNTER state is always evolved exactly (``_state_after_run`` walks
+#   every firing), so the next block re-anchors to the true samplenum and
+#   track-mode shift changes stay faithful (the erratum's divergence mode
+#   cannot occur);
+# - within the multi-reset block's tail, each un-encoded restart shifts the
+#   emitted phase by |frac_true(r·n_fire)| ≤ ulp(r·n_fire)/2 CYCLES — by
+#   the firing condition itself, the same magnitude class as the
+#   reference's OWN f32 product noise at that counter (SURVEY §3.4).  The
+#   offsets ACCUMULATE across missed restarts, so fidelity degrades
+#   gracefully with block length: at the reference's own ≤2048-sample
+#   framing a block rarely spans even two restarts; a 64Ki-sample block
+#   can span ~10 (measured ≈46-50 dB on an adversarial ratio — pinned with
+#   the derived k·ulp/2 bound by tests/test_phase_plan_analytic.py::
+#   test_multi_reset_block_phase_bound).  Operators pushing --block-bytes
+#   far past the reference framing trade phase fidelity on
+#   rounding-reset-heavy ratios for DMA efficiency.
+#
+# ``_offset_changing_within`` locates such restarts for tests/diagnostics.
+
+
+def _offset_changing_within(r32: np.float32, q: int | None,
+                            after: int) -> int | None:
+    """First ROUNDING (offset-changing) reset within ``after`` samples of a
+    freshly restarted (v=1) counter, or None.
+
+    Exact-periodic firings (counter ≡ 0 mod q) preserve the emitted affine
+    phase — ``frac(r·(n+q)) = frac(r·n)`` when ``r·q`` is a true integer —
+    so they need no extra segment; a ROUNDING firing restarts the phase
+    reference with a ≤ ulp/2-cycle offset the single in-block switch cannot
+    encode (see the policy note above).  Returns the local index of the
+    firing when one exists.
+    """
+    if after <= 0:
+        return None
+    if (q is not None
+            and abs(float(r32)) * min(q, after) < _exact_only_bound(r32, q)):
+        return None               # exact-only regime: no rounding firing
+    rem = after
+    off = 0
+    while rem > 0:
+        j = _first_reset_analytic(r32, 1, rem)
+        if j is None:
+            return None
+        if q is None or (j + 1) % q != 0:
+            return off + j        # rounding firing: offset-changing
+        off += j + 1              # exact firing: phase-preserving, continue
+        rem -= j + 1
+    return None
 
 
 def _plan_blocks_sequential(
@@ -351,7 +418,10 @@ def _plan_blocks_sequential(
             rows.append((d, c1, c1, block_len))
         else:
             # segment 2: samplenum restarts at 1 for local index j0+1,
-            # i.e. n_eff(j) = j - j0  →  C2 = (−j0 · D) mod 2^64
+            # i.e. n_eff(j) = j - j0  →  C2 = (−j0 · D) mod 2^64.  A
+            # further rounding restart inside this block is NOT encoded
+            # (single switch) — see the multi-reset policy note above:
+            # ≤ ulp/2-cycle phase offset in the tail, exact state below.
             c2 = (-j0 * d) % (1 << 64)
             rows.append((d, c1, c2, j0 + 1))
         state.samplenum = _state_after_run(r32, m0, count)
@@ -584,6 +654,9 @@ def plan_blocks(
                         m_k2 = (s2 - p0 - 1) % r1 + 1
                         j0_k = r1 - m_k2
                         hit = j0_k < (e2 - s2)
+                        # second+ restarts per block stay un-encoded (the
+                        # multi-reset policy note); counters remain exact
+                        # via the r1-periodic closed form
                         with np.errstate(over="ignore"):
                             c1v = m_k2.astype(np.uint64) * d64
                             c2v = np.where(

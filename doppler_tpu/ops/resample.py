@@ -311,17 +311,15 @@ class RationalResampler:
 
         # advance streaming state (host integers + history ring).  History
         # stays a device array: no host sync on the async-dispatch path.
+        # The new T−1-sample tail is a pure SLICE of the already-built
+        # [hist | chunk] buffer (its first T−1+valid elements are exactly
+        # [hist | chunk[:valid]]) — rebuilding the concat cost a redundant
+        # full-chunk HBM pass per call (round-5 review find).
         self.m_next = m0 + n_out
         self.in_consumed += int(valid)
         if valid and T > 1:
-            allin_i = jnp.concatenate(
-                [jnp.asarray(self._hist_i), jnp.asarray(i)[..., :valid]], axis=-1
-            )
-            allin_q = jnp.concatenate(
-                [jnp.asarray(self._hist_q), jnp.asarray(q)[..., :valid]], axis=-1
-            )
-            self._hist_i = allin_i[..., -(T - 1):]
-            self._hist_q = allin_q[..., -(T - 1):]
+            self._hist_i = xi[..., valid:valid + T - 1]
+            self._hist_q = xq[..., valid:valid + T - 1]
         return yi, yq, n_out
 
     # -- checkpointing ------------------------------------------------------

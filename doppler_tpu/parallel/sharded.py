@@ -351,7 +351,7 @@ def make_wideband_stream_step(mesh, *, intype: str, outtype: str, C: int,
         mi = planar[..., 0]
         mq = planar[..., 1]
         n_loc = mi.shape[-1]
-        if n_loc * Pr >= (1 << 31):
+        if n_loc * Pr >= (1 << 30):
             raise ValueError("time shard too large for 32-bit phase math")
         M_max = n_loc * Pr // Qr + 2
 

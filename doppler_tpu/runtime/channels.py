@@ -201,7 +201,7 @@ class MultiChannelPipeline:
                         f"resampler history ({rs.T - 1}) exceeds one time "
                         f"shard ({n_loc} samples); use fewer/larger chunks"
                     )
-                if n_loc * rs.P >= (1 << 31):
+                if n_loc * rs.P >= (1 << 30):
                     raise ValueError(
                         "time shard too large for 32-bit phase math"
                     )

@@ -202,7 +202,7 @@ class Pipeline:
                 f"resampler history ({resampler.T - 1} samples) exceeds one "
                 f"time shard ({n_loc} samples); use fewer/larger chunks"
             )
-        if n_loc * resampler.P >= (1 << 31):
+        if n_loc * resampler.P >= (1 << 30):
             raise ValueError("time shard too large for 32-bit phase math")
 
     # -- fused-chain plumbing ------------------------------------------------

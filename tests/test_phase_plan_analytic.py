@@ -315,3 +315,92 @@ def test_planning_cost_config5_scale():
         for _ in range(3)
     )
     assert best < 1.0, f"planning took {best:.2f}s per chunk"
+
+
+def test_state_evolution_vs_native_loop_large_blocks():
+    """Round-5 review find: _state_after_run's exact-period shortcut fired
+    outside the exact-only regime (a ROUNDING reset below q from the
+    restarted counter broke periodicity), silently corrupting the carried
+    samplenum at large block lengths.  Regression: the planner's state must
+    equal the per-sample C++ reference loop across a ratio/length scan."""
+    import pytest
+
+    from doppler_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("needs the native library")
+    rng = np.random.default_rng(0xA11)
+    checked = 0
+    for _ in range(120):
+        fs = int(rng.choice([256000, 1024000, 2400000, 100_000_000]))
+        L = int(rng.choice([8192, 40960, 65536, 131072]))
+        shift = float(rng.uniform(-fs / 2, fs / 2))
+        _, end = native.reference_counter_blocks(
+            np.full(3, np.float32(shift)), np.full(3, L, np.uint32), 0, fs)
+        s = NCOState()
+        plan_blocks([shift] * 3, [L] * 3, fs, s, L)
+        assert s.samplenum == end, (fs, L, shift, s.samplenum, end)
+        checked += 1
+    assert checked == 120
+    # the original repro ratio explicitly (shortcut fired with q=2^15;
+    # pre-fix the planner carried 32768 after 3 blocks vs the loop's 1518)
+    fs, L, shift = 1024000, 65536, 327843.7593835888
+    _, end = native.reference_counter_blocks(
+        np.full(3, np.float32(shift)), np.full(3, L, np.uint32), 0, fs)
+    s = NCOState()
+    plan_blocks([shift] * 3, [L] * 3, fs, s, L)
+    assert s.samplenum == end == 1518
+
+
+def test_multi_reset_block_phase_bound():
+    """Multi-reset policy (ops/phase_plan.py note): a second rounding reset
+    inside a block is not encoded; the resulting phase deviation in the
+    block tail must stay within the f32-product-ulp class — the
+    reference's OWN phase noise at those counters — so the SNR contract
+    holds.  Golden: the native per-sample reference loop."""
+    import pytest
+
+    import jax.numpy as jnp
+
+    from doppler_tpu import oracle
+    from doppler_tpu.ops import nco
+    from doppler_tpu.ops.phase_plan import (
+        _exact_period,
+        _offset_changing_within,
+        _ratio_f32,
+    )
+    from doppler_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("needs the native library")
+    fs, L, shift = 1024000, 65536, 327843.7593835888
+    r32 = _ratio_f32(shift, fs)
+    # the block really does contain a second (un-encoded) rounding reset
+    assert _offset_changing_within(r32, _exact_period(r32), L) is not None
+
+    s = NCOState()
+    plan = plan_blocks([shift], [L], fs, s, L)
+    i = np.ones(L, np.float32)
+    q = np.zeros(L, np.float32)
+    ri, rq, _ = native.reference_mix(i, q, 0, shift, fs)
+    gi, gq = nco.mix_blocks(
+        jnp.asarray(i[None]), jnp.asarray(q[None]),
+        plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+        plan.c2_hi, plan.c2_lo, plan.t)
+    want = ri + 1j * rq
+    got = np.asarray(gi)[0] + 1j * np.asarray(gq)[0]
+    # derived bound: this ratio fires ~11 restarts in the block (period
+    # 6503, product ≈ 2082 at each firing → per-restart offset ≤
+    # ulp(2082)/2 = 2^-13 cycles); the un-encoded restarts ACCUMULATE, so
+    # the tail deviation is ≤ n_missed·2^-13 cycles ≈ 1.2e-3 cycles.
+    n_missed = 10
+    bound = 2 * np.pi * n_missed * 2.0 ** -13 * 1.5   # ×1.5 margin
+    ang = np.abs(np.angle(got * np.conj(want)))
+    assert ang.max() < bound, (ang.max(), bound)
+    # and the encoded prefix (before the second restart) stays in the
+    # single-product-ulp class (the framework's exact Q0.64 phase vs the
+    # reference's own f32 product noise at counters ≤ 6503, a few ×
+    # ulp(2082)/2 ≈ 7.7e-4 rad)
+    assert ang[: 2 * 6503].max() < 4e-3, ang[: 2 * 6503].max()
+    snr = oracle.snr_db(want, got)
+    assert snr > 45.0, snr   # ≈ the accumulated-offset floor for THIS case
