@@ -123,6 +123,120 @@ _DOT_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
                    "default": jax.lax.Precision.DEFAULT}
 
 
+def _split_bf16_exact(v):
+    """``x ≈ x_h + x_l`` with both terms bf16-EXACT f32 values — THE one
+    operand split of the split3 scheme (3-pass bf16-split: operands are
+    rounded so each DEFAULT dot's internal f32→bf16 feed is lossless and
+    one MXU pass; ``|x−x_h−x_l| ≤ 2⁻¹⁸|x|``).  Shared by every split3
+    site — kernels and host taps prep MUST use the same split or the
+    scheme's accuracy bound silently drifts (ROADMAP r5 dedup)."""
+    h = v.astype(jnp.bfloat16).astype(jnp.float32)
+    l = (v - h).astype(jnp.bfloat16).astype(jnp.float32)
+    return h, l
+
+
+def split3_taps(taps_wide):
+    """Host/trace: widened taps → hi rows stacked over lo rows, the layout
+    the split3 kernels slice (``taps_ref[:NS128]`` = t_h, rest = t_l)."""
+    t_h, t_l = _split_bf16_exact(taps_wide)
+    return jnp.concatenate([t_h, t_l], axis=0)
+
+
+def _make_mix_front(W, SL, intype, phase_impl):
+    """The shared decode → Q0.64 phase → tone → rotate front of every
+    fused kernel (chain and cascade, stream and channel-batched): returns
+    ``front(b, sidx, words_ref, *plan_refs) → (rows_i, rows_q)`` for one
+    grid step.  One definition keeps the byte-exactness contract in one
+    place (ROADMAP r5 dedup)."""
+
+    def front(b, sidx, words_ref,
+              d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r, t_r):
+        # local sample index within one reference block — only the flat
+        # phase path materializes it per element
+        if phase_impl != "outer":
+            j = (jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 0)
+                 * jnp.uint32(128)
+                 + jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 1))
+        scale = jnp.float32(1.0 / 32768.0)
+        mis, mqs = [], []
+        for wi in range(W):
+            k = b * W + wi
+            # decode (i16 words unpack; f32 planes pass straight through)
+            if intype == "i16":
+                w = words_ref[wi]               # (SL, 128)
+                fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
+                fq = (w >> 16).astype(jnp.float32) * scale
+            else:
+                fi = words_ref[0, wi]           # planar f32
+                fq = words_ref[1, wi]
+            # exact Q0.64 phase (shared VPU hot loop, ops/pallas/mixer)
+            plan_k = (sidx(d_hi_r, k), sidx(d_lo_r, k),
+                      sidx(c1_hi_r, k), sidx(c1_lo_r, k),
+                      sidx(c2_hi_r, k), sidx(c2_lo_r, k), sidx(t_r, k))
+            if phase_impl == "outer":
+                q24 = phase_q24_outer(SL, *plan_k)
+            else:
+                q24 = phase_q24(j, *plan_k, small_j=(SL * 128 <= 65536))
+            c, s = _sincos_q24(q24)
+            oi, oq = mix_tone(fi, fq, c, s)
+            mis.append(oi)
+            mqs.append(oq)
+        rows_i = mis[0] if W == 1 else jnp.concatenate(mis, axis=0)
+        rows_q = mqs[0] if W == 1 else jnp.concatenate(mqs, axis=0)
+        return rows_i, rows_q
+
+    return front
+
+
+def _acc_slices(rows_i, rows_q, taps_ref, G, D, CC, NSLICE, dot_precision):
+    """The shared NSLICE-accumulation over D-regrouped rows — one
+    formulation for the chain and every cascade stage, at either
+    precision.  ``split3`` computes ``acc += x_h·t_h + x_h·t_l + x_l·t_h``
+    (3 lossless single-pass DEFAULT dots, dropping only the ~2⁻³⁶ lo·lo
+    term — ~90 dB vs "highest" measured, ≤1 LSB); ``highest`` is the
+    6-pass exact f32 path.  (An integer-mask split was measured ~11%
+    slower than the converts on the v5e and dropped; see ROADMAP r5.)"""
+    if dot_precision == "split3":
+        ri_h, ri_l = _split_bf16_exact(rows_i)
+        rq_h, rq_l = _split_bf16_exact(rows_q)
+        if D == 1:
+            r3 = [v[:, None, :] for v in (ri_h, ri_l, rq_h, rq_l)]
+        else:
+            r3 = [v.reshape(-1, D, 128) for v in (ri_h, ri_l, rq_h, rq_l)]
+        ri_h3, ri_l3, rq_h3, rq_l3 = r3
+        NS128 = NSLICE * 128
+        acc = jnp.zeros((2 * G, D * CC), jnp.float32)
+        for rp in range(NSLICE):
+            q_, d_ = divmod(rp, D)
+            x_h = jnp.concatenate(
+                [ri_h3[q_:q_ + G, d_, :], rq_h3[q_:q_ + G, d_, :]], axis=0)
+            x_l = jnp.concatenate(
+                [ri_l3[q_:q_ + G, d_, :], rq_l3[q_:q_ + G, d_, :]], axis=0)
+            t_h = taps_ref[128 * rp:128 * (rp + 1), :]
+            t_l = taps_ref[NS128 + 128 * rp:NS128 + 128 * (rp + 1), :]
+            acc = acc + (
+                jnp.dot(x_h, t_h, preferred_element_type=jnp.float32)
+                + jnp.dot(x_h, t_l, preferred_element_type=jnp.float32)
+                + jnp.dot(x_l, t_h, preferred_element_type=jnp.float32))
+        return acc
+    if D == 1:
+        r3i = rows_i[:, None, :]
+        r3q = rows_q[:, None, :]
+    else:
+        r3i = rows_i.reshape(-1, D, 128)
+        r3q = rows_q.reshape(-1, D, 128)
+    acc = jnp.zeros((2 * G, D * CC), jnp.float32)
+    for rp in range(NSLICE):
+        q_, d_ = divmod(rp, D)
+        x_r = jnp.concatenate(
+            [r3i[q_:q_ + G, d_, :], r3q[q_:q_ + G, d_, :]], axis=0)
+        acc = acc + jnp.dot(
+            x_r, taps_ref[128 * rp:128 * (rp + 1), :],
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISIONS[dot_precision])
+    return acc
+
+
 def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1,
                  intype="i16", outtype="i16", dot_precision="highest",
                  phase_impl="flat"):
@@ -149,55 +263,22 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1,
     if (SRC_ROWS + PAD_ROWS) % D:
         PAD_ROWS += D - (SRC_ROWS + PAD_ROWS) % D
 
+    front = _make_mix_front(W, SL, intype, phase_impl)
+
     def kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r, t_r,
                words_ref, taps_ref, carry_in_ref, out_ref, carry_out_ref,
                carry_ref):
         # channel-batched form: grid (C, B/W), c-major so the carry scratch
         # finishes one channel's stream before the next begins
         b = pl.program_id(1) if channels else pl.program_id(0)
-
-        # local sample index within one reference block, (SL, 128) — only
-        # the flat phase path needs it materialized per element
-        if phase_impl != "outer":
-            j = (
-                jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 0)
-                * jnp.uint32(128)
-                + jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 1)
-            )
-        scale = jnp.float32(1.0 / 32768.0)
-
         if channels:
             ch = pl.program_id(0)
             sidx = lambda r, k: r[ch, k]        # noqa: E731  (C, B) plans
         else:
             sidx = lambda r, k: r[k]            # noqa: E731  (B,) plans
 
-        mis, mqs = [], []
-        for wi in range(W):
-            k = b * W + wi
-            # ---- decode (i16 words unpack; f32 planes pass straight through)
-            if intype == "i16":
-                w = words_ref[wi]               # (SL, 128)
-                fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
-                fq = (w >> 16).astype(jnp.float32) * scale
-            else:
-                fi = words_ref[0, wi]           # (2, W, SL, 128) planar f32
-                fq = words_ref[1, wi]
-
-            # ---- exact Q0.64 phase (shared VPU hot loop, ops/pallas/mixer)
-            plan_k = (sidx(d_hi_r, k), sidx(d_lo_r, k),
-                      sidx(c1_hi_r, k), sidx(c1_lo_r, k),
-                      sidx(c2_hi_r, k), sidx(c2_lo_r, k), sidx(t_r, k))
-            if phase_impl == "outer":
-                q24 = phase_q24_outer(SL, *plan_k)
-            else:
-                q24 = phase_q24(j, *plan_k, small_j=(SL * 128 <= 65536))
-            c, s = _sincos_q24(q24)
-            oi, oq = mix_tone(fi, fq, c, s)
-            mis.append(oi)                      # (SL, 128)
-            mqs.append(oq)
-        mi = mis[0] if W == 1 else jnp.concatenate(mis, axis=0)   # (WSL, 128)
-        mq = mqs[0] if W == 1 else jnp.concatenate(mqs, axis=0)
+        mi, mq = front(b, sidx, words_ref, d_hi_r, d_lo_r, c1_hi_r,
+                       c1_lo_r, c2_hi_r, c2_lo_r, t_r)     # (WSL, 128)
 
         # ---- overlap-save carry (whole rows; streamed in from prior chunk,
         # re-seeded at each channel's first step in channel-batched form)
@@ -231,68 +312,10 @@ def _make_kernel(L, P, Q, T, n_sub, taps_rows, PP, W, channels=False, D=1,
         # the per-δ group offsets into the widened taps (wide_chain_taps),
         # so every column shares the same LHS.  Buffer row a'·D + r' =
         # rows3[a' + r'//D, r'%D], so each slice is a contiguous
-        # fixed-plane view of the D-regrouped rows.
-        if dot_precision == "split3":
-            # 3-pass bf16-split scheme (VERDICT r4 next #1a experiment):
-            # operands are kept in f32 but rounded to bf16-exact values, so
-            # each DEFAULT dot's internal f32→bf16 feed is LOSSLESS and one
-            # MXU pass.  x ≈ x_h + x_l (x_h = RN_bf16(x); x_l = RN_bf16(x −
-            # x_h), |x−x_h−x_l| ≤ 2⁻¹⁸|x|); taps split likewise on the host
-            # (t_h rows then t_l rows of taps_ref).  acc += x_h·t_h +
-            # x_h·t_l + x_l·t_h — 3 passes vs HIGHEST's 6, dropping only
-            # the x_l·t_l ≈ 2⁻³⁶ term; ~90 dB vs HIGHEST measured, ≤1 LSB,
-            # NOT the <1%-diff oracle contract of "highest".  (An integer
-            # mask split — bf16 = f32 with the low mantissa halved off —
-            # was tried and measured ~11% SLOWER than these converts on the
-            # v5e: int ops on f32-tiled rows relayout; see ROADMAP r5.)
-            def _split(v):
-                h = v.astype(jnp.bfloat16).astype(jnp.float32)
-                l = (v - h).astype(jnp.bfloat16).astype(jnp.float32)
-                return h, l
-
-            ri_h, ri_l = _split(rows_i)
-            rq_h, rq_l = _split(rows_q)
-            if D == 1:
-                r3 = [v[:, None, :] for v in (ri_h, ri_l, rq_h, rq_l)]
-            else:
-                r3 = [v.reshape(-1, D, 128) for v in (ri_h, ri_l, rq_h, rq_l)]
-            ri_h3, ri_l3, rq_h3, rq_l3 = r3
-            NS128 = NSLICE * 128
-            acc = jnp.zeros((2 * G, D * CC), jnp.float32)
-            for rp in range(NSLICE):
-                q_, d_ = divmod(rp, D)
-                x_h = jnp.concatenate(
-                    [ri_h3[q_ : q_ + G, d_, :], rq_h3[q_ : q_ + G, d_, :]],
-                    axis=0)
-                x_l = jnp.concatenate(
-                    [ri_l3[q_ : q_ + G, d_, :], rq_l3[q_ : q_ + G, d_, :]],
-                    axis=0)
-                t_h = taps_ref[128 * rp : 128 * (rp + 1), :]
-                t_l = taps_ref[NS128 + 128 * rp : NS128 + 128 * (rp + 1), :]
-                acc = acc + (
-                    jnp.dot(x_h, t_h, preferred_element_type=jnp.float32)
-                    + jnp.dot(x_h, t_l, preferred_element_type=jnp.float32)
-                    + jnp.dot(x_l, t_h, preferred_element_type=jnp.float32)
-                )
-        else:
-            if D == 1:
-                rows3_i = rows_i[:, None, :]
-                rows3_q = rows_q[:, None, :]
-            else:
-                rows3_i = rows_i.reshape(-1, D, 128)
-                rows3_q = rows_q.reshape(-1, D, 128)
-            acc = jnp.zeros((2 * G, D * CC), jnp.float32)
-            for rp in range(NSLICE):
-                q_, d_ = divmod(rp, D)
-                x_r = jnp.concatenate(
-                    [rows3_i[q_ : q_ + G, d_, :], rows3_q[q_ : q_ + G, d_, :]],
-                    axis=0,
-                )                                                   # (2G, 128)
-                acc = acc + jnp.dot(
-                    x_r, taps_ref[128 * rp : 128 * (rp + 1), :],
-                    preferred_element_type=jnp.float32,
-                    precision=_DOT_PRECISIONS[dot_precision],
-                )
+        # fixed-plane view of the D-regrouped rows (see _acc_slices for
+        # the exact-vs-split3 precision schemes).
+        acc = _acc_slices(rows_i, rows_q, taps_ref, G, D, CC, NSLICE,
+                          dot_precision)
 
         if outtype == "f32":
             # per-plane indexed stores (a stacked store crashes Mosaic)
@@ -477,9 +500,7 @@ def mix_resample_chain_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo,
     ).reshape(taps_rows, CC)
     taps_wide = wide_chain_taps(taps_merged, D)
     if dot_precision == "split3":
-        t_h = taps_wide.astype(jnp.bfloat16).astype(jnp.float32)
-        t_l = (taps_wide - t_h).astype(jnp.bfloat16).astype(jnp.float32)
-        taps_wide = jnp.concatenate([t_h, t_l], axis=0)
+        taps_wide = split3_taps(taps_wide)
     out, carry_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -636,9 +657,7 @@ def mix_resample_chain_pallas_channels(words, fields, chain_taps, carries,
     ).reshape(taps_rows, CC)
     taps_wide = wide_chain_taps(taps_merged, D)
     if dot_precision == "split3":
-        t_h = taps_wide.astype(jnp.bfloat16).astype(jnp.float32)
-        t_l = (taps_wide - t_h).astype(jnp.bfloat16).astype(jnp.float32)
-        taps_wide = jnp.concatenate([t_h, t_l], axis=0)
+        taps_wide = split3_taps(taps_wide)
     out, carry_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -750,6 +769,7 @@ def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16",
                          channels=False, dot_precision="highest"):
     SL = L // 128
     nstg = len(dims)
+    front = _make_mix_front(W, SL, intype, "flat")
 
     def kernel(d_hi_r, d_lo_r, c1_hi_r, c1_lo_r, c2_hi_r, c2_lo_r, t_r,
                words_ref, *rest):
@@ -765,33 +785,8 @@ def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16",
         else:
             sidx = lambda r, k: r[k]            # noqa: E731  (B,) plans
 
-        j = (
-            jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 0) * jnp.uint32(128)
-            + jax.lax.broadcasted_iota(jnp.uint32, (SL, 128), 1)
-        )
-        scale = jnp.float32(1.0 / 32768.0)
-        mis, mqs = [], []
-        for wi in range(W):
-            k = b * W + wi
-            if intype == "i16":
-                w = words_ref[wi]
-                fi = (jnp.left_shift(w, 16) >> 16).astype(jnp.float32) * scale
-                fq = (w >> 16).astype(jnp.float32) * scale
-            else:
-                fi = words_ref[0, wi]
-                fq = words_ref[1, wi]
-            q24 = phase_q24(
-                j, sidx(d_hi_r, k), sidx(d_lo_r, k),
-                sidx(c1_hi_r, k), sidx(c1_lo_r, k),
-                sidx(c2_hi_r, k), sidx(c2_lo_r, k), sidx(t_r, k),
-                small_j=(SL * 128 <= 65536),
-            )
-            c, s = _sincos_q24(q24)
-            oi, oq = mix_tone(fi, fq, c, s)
-            mis.append(oi)
-            mqs.append(oq)
-        rows_i = mis[0] if W == 1 else jnp.concatenate(mis, axis=0)
-        rows_q = mqs[0] if W == 1 else jnp.concatenate(mqs, axis=0)
+        rows_i, rows_q = front(b, sidx, words_ref, d_hi_r, d_lo_r, c1_hi_r,
+                               c1_lo_r, c2_hi_r, c2_lo_r, t_r)
 
         acc = None
         for si, st in enumerate(dims):
@@ -821,61 +816,8 @@ def _make_cascade_kernel(L, W, dims, intype="i16", outtype="i16",
                 carry_out_refs[si][0] = rows_i[A - HBR:]
                 carry_out_refs[si][1] = rows_q[A - HBR:]
 
-            if dot_precision == "split3":
-                # per-stage 3-pass bf16-split (see the chain kernel's
-                # split3 branch for the scheme and the exactness bound);
-                # each stage's taps_ref carries t_h rows then t_l rows
-                def _split(v):
-                    h = v.astype(jnp.bfloat16).astype(jnp.float32)
-                    l = (v - h).astype(jnp.bfloat16).astype(jnp.float32)
-                    return h, l
-
-                fi_h, fi_l = _split(full_i)
-                fq_h, fq_l = _split(full_q)
-                if D == 1:
-                    r3 = [v[:, None, :] for v in (fi_h, fi_l, fq_h, fq_l)]
-                else:
-                    r3 = [v.reshape(-1, D, 128)
-                          for v in (fi_h, fi_l, fq_h, fq_l)]
-                r3i_h, r3i_l, r3q_h, r3q_l = r3
-                NS128 = st["NSLICE"] * 128
-                acc = jnp.zeros((2 * G, D * st["CC"]), jnp.float32)
-                for rp in range(st["NSLICE"]):
-                    q_, d_ = divmod(rp, D)
-                    x_h = jnp.concatenate(
-                        [r3i_h[q_:q_ + G, d_, :], r3q_h[q_:q_ + G, d_, :]],
-                        axis=0)
-                    x_l = jnp.concatenate(
-                        [r3i_l[q_:q_ + G, d_, :], r3q_l[q_:q_ + G, d_, :]],
-                        axis=0)
-                    t_h = taps_refs[si][128 * rp:128 * (rp + 1), :]
-                    t_l = taps_refs[si][NS128 + 128 * rp:
-                                        NS128 + 128 * (rp + 1), :]
-                    acc = acc + (
-                        jnp.dot(x_h, t_h, preferred_element_type=jnp.float32)
-                        + jnp.dot(x_h, t_l,
-                                  preferred_element_type=jnp.float32)
-                        + jnp.dot(x_l, t_h,
-                                  preferred_element_type=jnp.float32)
-                    )
-            else:
-                if D == 1:
-                    r3i = full_i[:, None, :]
-                    r3q = full_q[:, None, :]
-                else:
-                    r3i = full_i.reshape(-1, D, 128)
-                    r3q = full_q.reshape(-1, D, 128)
-                acc = jnp.zeros((2 * G, D * st["CC"]), jnp.float32)
-                for rp in range(st["NSLICE"]):
-                    q_, d_ = divmod(rp, D)
-                    x_r = jnp.concatenate(
-                        [r3i[q_:q_ + G, d_, :], r3q[q_:q_ + G, d_, :]],
-                        axis=0)
-                    acc = acc + jnp.dot(
-                        x_r, taps_refs[si][128 * rp:128 * (rp + 1), :],
-                        preferred_element_type=jnp.float32,
-                        precision=_DOT_PRECISIONS[dot_precision],
-                    )
+            acc = _acc_slices(full_i, full_q, taps_refs[si], G, D,
+                              st["CC"], st["NSLICE"], dot_precision)
             if not st["last"]:
                 rows_i = acc[:G]          # dense (G, 128) stream rows
                 rows_q = acc[G:]
@@ -1077,9 +1019,7 @@ def mix_cascade_pallas_stream(words, d_hi, d_lo, c1_hi, c1_lo, c2_hi, c2_lo,
             st["R"] * 128, st["CC"])
         tw = wide_chain_taps(tm, st["D"])
         if dot_precision == "split3":
-            t_h = tw.astype(jnp.bfloat16).astype(jnp.float32)
-            t_l = (tw - t_h).astype(jnp.bfloat16).astype(jnp.float32)
-            tw = jnp.concatenate([t_h, t_l], axis=0)
+            tw = split3_taps(tw)
         taps_wide.append(tw)
         taps_specs.append(
             pl.BlockSpec(tw.shape, lambda b, *_: (0, 0),
