@@ -31,6 +31,7 @@ tracks it mod 2^32.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from fractions import Fraction
 from typing import Sequence
@@ -38,6 +39,25 @@ from typing import Sequence
 import numpy as np
 
 from doppler_tpu.ops import fixedpoint as fxp
+
+_log = logging.getLogger("doppler_tpu.plan")
+_multi_reset_warned: set = set()
+
+
+def _warn_multi_reset(r32: np.float32, block_len: int) -> None:
+    """Once-per-ratio operator notice that a block spans more than one
+    offset-changing reset (see the multi-reset policy note): the tail
+    phase degrades by a ulp-class bound per missed restart."""
+    key = float(r32)
+    if key in _multi_reset_warned:
+        return
+    _multi_reset_warned.add(key)
+    _log.warning(
+        "block length %d spans more than one samplenum rounding reset at "
+        "ratio %.9g: in-block phase past the first reset degrades by "
+        "~ulp(r*n)/2 cycles per missed restart (exact counter re-anchors "
+        "each block) — reduce --block-bytes for full reset fidelity",
+        block_len, key)
 
 __all__ = ["NCOState", "BlockPlan", "plan_blocks", "plan_fields_uniform"]
 
@@ -641,6 +661,9 @@ def plan_blocks(
                     p0 = j                     # stretch-local reset position
                     s2 = starts[kb + 1:nb]
                     e2 = ends[kb + 1:nb]
+                    if r1 is not None and (
+                            int(rc[k + kb]) - jb - 1 >= r1):
+                        _warn_multi_reset(r32, block_len)
                     if r1 is None:
                         m_k2 = s2 - p0         # counter climbs unbounded
                         with np.errstate(over="ignore"):
@@ -657,6 +680,8 @@ def plan_blocks(
                         # second+ restarts per block stay un-encoded (the
                         # multi-reset policy note); counters remain exact
                         # via the r1-periodic closed form
+                        if bool(np.any(j0_k + np.int64(r1) < (e2 - s2))):
+                            _warn_multi_reset(r32, block_len)
                         with np.errstate(over="ignore"):
                             c1v = m_k2.astype(np.uint64) * d64
                             c2v = np.where(
@@ -673,6 +698,12 @@ def plan_blocks(
                         state.samplenum = (span - p0 - 1) % r1 + 1
                     k += nb
                 else:
+                    if (block_len > 8192
+                            and float(r32) not in _multi_reset_warned
+                            and _offset_changing_within(
+                                r32, q, int(rc[k + kb]) - jb - 1)
+                            is not None):
+                        _warn_multi_reset(r32, block_len)
                     state.samplenum = _state_after_run(
                         r32, m_kb, int(rc[k + kb]))
                     k += kb + 1
