@@ -2,9 +2,13 @@
 """Single-chip benchmark: fused decode → NCO mix → polyphase resample → encode.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N/1.024e6}
+    {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N/fs}
 
-``vs_baseline`` is the speedup over the reference binary's implied realtime
+``vs_baseline`` is the realtime margin at the MODE'S OWN input rate (the
+reference's implied requirement is 1× realtime at its capture rate —
+1.024 Msps for the config-3 shapes, 100 Msps for the config-5 split
+modes; review r5: a flat /1.024e6 overstated the split modes ~98×).
+It remains the speedup over the reference binary's implied realtime
 requirement — sustaining the documented 1.024 Msps rtl_fm pipeline on one CPU
 core (BASELINE.md; reference README.md:53).  The workload mirrors BASELINE
 config 3: i16 IQ at 1.024 Msps, per-block Doppler schedule, 3/64 polyphase
@@ -113,9 +117,12 @@ def main() -> int:
     total_samples = N * (
         args.channels if args.mode.startswith("channels") else 1
     )
-    rs = RationalResampler(fs, 48000)
-    assert (args.mode.startswith("split")
-            or args.mode == "channels-split" or N % rs.Q == 0)
+    split_mode = args.mode.startswith("split") or args.mode == "channels-split"
+    # the split modes use MultiStageResampler geometry exclusively — the
+    # single-stage design at 100 Msps is a ~100k-tap Kaiser build they never
+    # touch (review r5: dead startup work)
+    rs = None if split_mode else RationalResampler(fs, 48000)
+    assert split_mode or N % rs.Q == 0
 
     rng = np.random.default_rng(0xBE)
     words = rng.integers(-(1 << 31), (1 << 31), size=(B, L), dtype=np.int64).astype(
@@ -129,10 +136,12 @@ def main() -> int:
                   plan.c2_hi, plan.c2_lo, plan.t)
     ]
     data = jax.device_put(jnp.asarray(words))
-    taps_mat = jax.device_put(
-        jnp.asarray(make_taps_matrix(rs.bank, rs.P, rs.Q))
-    )
-    H = rs.T - 1
+    if args.mode in ("chain", "channels"):
+        # the XLA banded-matmul modes are the only taps_mat consumers
+        taps_mat = jax.device_put(
+            jnp.asarray(make_taps_matrix(rs.bank, rs.P, rs.Q))
+        )
+        H = rs.T - 1
 
     if args.mode == "mix":
 
@@ -160,11 +169,12 @@ def main() -> int:
         carry0 = jax.device_put(
             jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32))
         dot_prec = "split3" if args.precision == "fast" else "highest"
+        interp_cp = args.platform == "cpu"
 
         def step(data, *plan):
             out, _ = mix_resample_chain_pallas_stream(
                 data, *plan, chain_taps, carry0, P=rs.P, Q=rs.Q, T=rs.T,
-                dot_precision=dot_prec,
+                dot_precision=dot_prec, interpret=interp_cp,
             )
             return out
 
@@ -199,9 +209,12 @@ def main() -> int:
               + " -> ".join(f"{st.P}/{st.Q}(T={st.T})" for st in ms.stages),
               file=sys.stderr)
 
+        interp_cc = args.platform == "cpu"
+
         def step(data, *plan):
             out, _ = mix_cascade_pallas_stream(
-                data, *plan, casc_taps, casc_carries, stages=stages_cfg)
+                data, *plan, casc_taps, casc_carries, stages=stages_cfg,
+                interpret=interp_cc)
             return out
 
         metric = "mix_cascade_pallas_i16_samples_per_s_chip"
@@ -424,35 +437,40 @@ def main() -> int:
             taps = jax.device_put(taps_host, repl)
             out, _ = step(d, *plans, carry, taps)
             jax.block_until_ready(out)
-            times = []
-            for _ in range(args.iters):
-                t0 = time.perf_counter()
-                accs = []
-                for _k in range(K):
-                    o, _c = step(d, *plans, carry, taps)
-                    accs.append(jnp.sum(o.reshape(-1)[:8].astype(jnp.float32)))
-                acc = accs[0]
-                for a in accs[1:]:
-                    acc = acc + a
-                float(acc)
-                times.append(time.perf_counter() - t0)
+            from doppler_tpu.runtime.timing import timed_dispatches
+
+            times = [
+                timed_dispatches(
+                    lambda: step(d, *plans, carry, taps)[0], K)
+                for _ in range(args.iters)
+            ]
             return min(times)
 
         widths = [n_time]
         if args.mesh_scan:
-            widths = [w for w in (1, 2, 4, 8, 16, 32, 64) if w <= n_time]
-            if widths[-1] != n_time:
+            # only widths that divide the block count are measurable
+            # (review r5: an unchecked intermediate width crashed mid-scan
+            # after minutes of warm-up)
+            widths = [w for w in (1, 2, 4, 8, 16, 32, 64)
+                      if w <= n_time and B % w == 0]
+            if widths and widths[-1] != n_time:
                 widths.append(n_time)
+        import contextlib
+
+        trace_ctx = (jax.profiler.trace(args.profile) if args.profile
+                     else contextlib.nullcontext())
         rates = {}
-        for w in widths:
-            best = measure_width(w)
-            rates[w] = N * K / best
-            print(
-                f"bench chain-mesh time={w}: {K} x {N} samples in "
-                f"{best*1e3:.2f} ms best ({rates[w]/1e9:.3f} GS/s aggregate, "
-                f"{rates[w]/w/1e9:.3f} GS/s/chip)",
-                file=sys.stderr,
-            )
+        with trace_ctx:
+            for w in widths:
+                best = measure_width(w)
+                rates[w] = N * K / best
+                print(
+                    f"bench chain-mesh time={w}: {K} x {N} samples in "
+                    f"{best*1e3:.2f} ms best "
+                    f"({rates[w]/1e9:.3f} GS/s aggregate, "
+                    f"{rates[w]/w/1e9:.3f} GS/s/chip)",
+                    file=sys.stderr,
+                )
         if len(rates) > 1:
             base = rates[widths[0]] / widths[0]
             for w in widths[1:]:
@@ -469,7 +487,7 @@ def main() -> int:
             "metric": "chain_mesh_i16_samples_per_s_aggregate",
             "value": rate,
             "unit": "samples/s",
-            "vs_baseline": rate / 1.024e6,
+            "vs_baseline": rate / fs,
             **extra,
         }))
         return 0
@@ -502,10 +520,12 @@ def main() -> int:
 
         dot_prec = "split3" if args.precision == "fast" else "highest"
 
+        interp_ch = args.platform == "cpu"
+
         def step(data, *_):
             out, _ = mix_resample_chain_pallas_channels(
                 data, fields, chain_taps, carries, P=rs.P, Q=rs.Q, T=rs.T,
-                dot_precision=dot_prec,
+                dot_precision=dot_prec, interpret=interp_ch,
             )
             return out
 
@@ -591,18 +611,14 @@ def main() -> int:
     # single-shot latency number.
     K = max(1, args.dispatches)
 
+    from doppler_tpu.runtime.timing import timed_dispatches
+
+    def _one():
+        out = step(data, *plan_arrs)
+        return out if not isinstance(out, tuple) else out[0]
+
     def timed_iter():
-        t0 = time.perf_counter()
-        accs = []
-        for _ in range(K):
-            out = step(data, *plan_arrs)
-            o = out if not isinstance(out, tuple) else out[0]
-            accs.append(jnp.sum(o.reshape(-1)[:8].astype(jnp.float32)))
-        acc = accs[0]
-        for a in accs[1:]:
-            acc = acc + a
-        float(acc)
-        return time.perf_counter() - t0
+        return timed_dispatches(_one, K)
 
     with trace_ctx:
         times = [timed_iter() for _ in range(args.iters)]
@@ -618,7 +634,7 @@ def main() -> int:
         "metric": metric,
         "value": rate,
         "unit": "samples/s",
-        "vs_baseline": rate / 1.024e6,
+        "vs_baseline": rate / fs,
     }))
     return 0
 

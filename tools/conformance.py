@@ -259,7 +259,7 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         for fn in (config1, lambda: config2(tmp), lambda: config3(tmp),
                    lambda: config4(tmp), lambda: config5(tmp)):
-            name, snr, size_ok = fn() if fn is config1 else fn()
+            name, snr, size_ok = fn()
             ok = snr > 60.0 and size_ok
             results.append((name, snr, ok))
             print(f"{'PASS' if ok else 'FAIL'}  {name:<42} SNR {snr:7.1f} dB",

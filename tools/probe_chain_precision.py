@@ -210,17 +210,10 @@ def main() -> int:
 
     K = max(1, args.dispatches)
 
+    from doppler_tpu.runtime.timing import timed_dispatches
+
     def timed(step):
-        t0 = time.perf_counter()
-        accs = []
-        for _ in range(K):
-            o = step(data, *plan_arrs)
-            accs.append(jnp.sum(o.reshape(-1)[:8].astype(jnp.float32)))
-        acc = accs[0]
-        for a in accs[1:]:
-            acc = acc + a
-        float(acc)
-        return time.perf_counter() - t0
+        return timed_dispatches(lambda: step(data, *plan_arrs), K)
 
     best = {k: float("inf") for k in variants}
     for it in range(args.iters):

@@ -52,6 +52,9 @@ def main() -> int:
     ap.add_argument("--platform", choices=["default", "cpu"], default="default")
     ap.add_argument("--variants", default="xla-xor,copy,codec,mixer,mixer-q15")
     args = ap.parse_args()
+    # exact-name matching (a substring test made e.g.
+    # --variants chain-copy also run the mixer-shape "copy")
+    variants = set(args.variants.split(","))
 
     import jax
 
@@ -149,39 +152,39 @@ def main() -> int:
         return (enc(fi) & jnp.int32(0xFFFF)) | jnp.left_shift(enc(fq), 16)
 
     steps = {}
-    if "xla-xor" in args.variants:
+    if "xla-xor" in variants:
         steps["xla-xor"] = (jax.jit(lambda x, *p: x ^ 1), 8)
-    if "copy" in args.variants:
+    if "copy" in variants:
         steps["copy"] = (
             (lambda run: (lambda x, *p: run(x)))(
                 pallas_elementwise(lambda w: w)), 8)
     for wv in (8, 16, 32, 64, 128):
-        if f"copy-w{wv}" in args.variants and B % wv == 0:
+        if f"copy-w{wv}" in variants and B % wv == 0:
             steps[f"copy-w{wv}"] = (
                 (lambda run: (lambda x, *p: run(x)))(
                     pallas_elementwise(lambda w: w, W=wv)), 8)
-        if f"copyflat-w{wv}" in args.variants and B % wv == 0:
+        if f"copyflat-w{wv}" in variants and B % wv == 0:
             steps[f"copyflat-w{wv}"] = (
                 (lambda run: (lambda x, *p: run(x)))(
                     pallas_elementwise(lambda w: w, W=wv, flat=True)), 8)
     for wv in (32, 64):
-        if f"mixer-w{wv}" in args.variants and B % wv == 0:
+        if f"mixer-w{wv}" in variants and B % wv == 0:
             steps[f"mixer-w{wv}"] = (
                 functools.partial(mix_blocks_pallas, interpret=interp,
                                   blocks_per_step=wv), 8)
-    if "codec" in args.variants:
+    if "codec" in variants:
         steps["codec"] = (
             (lambda run: (lambda x, *p: run(x)))(
                 pallas_elementwise(codec_body)), 8)
-    if "mixer" in args.variants:
+    if "mixer" in variants:
         steps["mixer"] = (
             functools.partial(mix_blocks_pallas, interpret=interp), 8)
-    if "mixer-q15" in args.variants:
+    if "mixer-q15" in variants:
         steps["mixer-q15"] = (
             functools.partial(mix_blocks_pallas_q15, interpret=interp), 8)
 
     # ---- chain-shaped variants --------------------------------------------
-    if any(v.startswith("chain") for v in args.variants.split(",")):
+    if any(v.startswith("chain") for v in variants):
         from doppler_tpu.ops.pallas.chain import (
             _pick_chain_blocks_per_step,
             _pick_group_cols,
@@ -269,20 +272,20 @@ def main() -> int:
                   x.reshape(B, S, 128))
             return run
 
-        if "chain-copy" in args.variants:
+        if "chain-copy" in variants:
             run = chain_shape_run(False)
             steps["chain-copy"] = (
                 (lambda r: (lambda x, *p: r(x, *p)))(run), bps_chain)
-        if "chain-mix" in args.variants:
+        if "chain-mix" in variants:
             run = chain_shape_run(True)
             steps["chain-mix"] = (
                 (lambda r: (lambda x, *p: r(x, *p)))(run), bps_chain)
-        if "chain" in args.variants.split(","):
+        if "chain" in variants:
             steps["chain"] = (
                 (lambda tp: (lambda x, *p: mix_resample_chain_pallas(
                     x, *p, tp, P=rs.P, Q=rs.Q, T=rs.T,
                     interpret=interp)))(taps8), bps_chain)
-        if "chain-pp4" in args.variants:
+        if "chain-pp4" in variants:
             taps4 = jnp.asarray(make_chain_taps(rs.bank, rs.P, rs.Q, pp=4))
             steps["chain-pp4"] = (
                 (lambda tp: (lambda x, *p: mix_resample_chain_pallas(
@@ -294,18 +297,10 @@ def main() -> int:
     for name, (step, bytes_per_sample) in steps.items():
         out = step(data, *plan_arrs)
         jax.block_until_ready(out)
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            accs = []
-            for _k in range(K):
-                o = step(data, *plan_arrs)
-                accs.append(jnp.sum(o.reshape(-1)[:8].astype(jnp.float32)))
-            acc = accs[0]
-            for a in accs[1:]:
-                acc = acc + a
-            float(acc)
-            times.append(time.perf_counter() - t0)
+        from doppler_tpu.runtime.timing import timed_dispatches
+
+        times = [timed_dispatches(lambda: step(data, *plan_arrs), K)
+                 for _ in range(args.iters)]
         best = min(times)
         rate = N * K / best
         bw = rate * bytes_per_sample
