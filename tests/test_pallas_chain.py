@@ -535,3 +535,34 @@ def test_channels_chain_split3_precision_bound():
     sig = we / 32768.0
     snr = 10 * np.log10((sig ** 2).mean() / max((err ** 2).mean(), 1e-30))
     assert snr > 80.0, snr
+
+
+def test_chain_split3_f32_wire_formats():
+    """split3 must hold its bound on the f32 wire formats too (the fast
+    mode is format-agnostic: the split happens after the mix, before the
+    matmul)."""
+    from doppler_tpu.ops.pallas.chain import (
+        carry_rows,
+        mix_resample_chain_pallas_stream,
+    )
+
+    B, L = 4, 4096
+    rs = RationalResampler(FS, 48000)
+    taps = make_chain_taps(rs.bank, rs.P, rs.Q)
+    planar = RNG.normal(scale=0.4, size=(2, B, L)).astype(np.float32)
+    plan = plan_blocks([9000.0, -5000.5, 0.25, 7777.0], [L] * B, FS,
+                       NCOState(), L)
+    arrs = (plan.d_hi, plan.d_lo, plan.c1_hi, plan.c1_lo,
+            plan.c2_hi, plan.c2_lo, plan.t)
+    carry0 = jnp.zeros((2, carry_rows(rs.T), 128), jnp.float32)
+
+    outs = {}
+    for prec in ("highest", "split3"):
+        o, _ = mix_resample_chain_pallas_stream(
+            jnp.asarray(planar), *arrs, taps, carry0, P=rs.P, Q=rs.Q,
+            T=rs.T, interpret=True, intype="f32", outtype="f32",
+            dot_precision=prec)
+        outs[prec] = np.asarray(o)
+    err = np.abs(outs["split3"] - outs["highest"])
+    scale = max(np.abs(outs["highest"]).max(), 1e-9)
+    assert err.max() / scale < 3e-5, err.max() / scale   # ~90 dB class

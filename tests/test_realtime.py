@@ -186,3 +186,22 @@ def test_channels_realtime_chunk_default(tmp_path, monkeypatch):
     assert rc == 1  # stopped by the capture stub
     fs, bs = 256000, 2048
     assert seen["chunk_blocks"] * bs / fs <= 0.065, seen
+
+
+def test_channels_realtime_inherits_per_block_staircase():
+    """Channels mode drives each channel's RealtimeTrackScheduler with the
+    chunk's per-block counts, so the round-5 per-block cadence
+    (main.rs:187-189 granularity) applies to config-4/5 realtime runs
+    automatically — pin it at the scheduler boundary."""
+    fs, bs, B = 1_024_000, 2048, 32
+    clock = FakeClock(EPOCH_UNIX + 300.0)
+    pred = Predictor(Tle.from_lines("T", L1, L2),
+                     Observer(58.26541, 26.46667, 76.0))
+    s = RealtimeTrackScheduler(pred, 437505000.0, 5000.0, fs,
+                               telemetry=False, clock=clock)
+    vals = np.asarray(s.shifts([bs] * B))
+    assert vals.shape == (B,)
+    assert np.ptp(vals) > 0.0           # a staircase, not one value
+    # monotone slew within the chunk for a passing LEO (sanity)
+    d = np.diff(vals)
+    assert np.all(d <= 0) or np.all(d >= 0)
